@@ -1,38 +1,365 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship pipeline (interleaved docs -> media
+datacube -> zonal stats). ``queries()`` / ``oracle_sql()`` expose operators
+with DuckDB-checkable oracles: the interleaved-document table and all fixture
+cubes are closed-form integer arithmetic on ``documents.doc_id``, so even
+raster operators get true value-level SQL oracles (pixel regeneration via
+generate_series).
 """
 
 from __future__ import annotations
 
+import json
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from openeo_geotrellis_extensions_spark.core.grid import Extent, LayoutDefinition
+from openeo_geotrellis_extensions_spark.operators.spatial_join import (
+    spatial_join_points,
+)
+from openeo_geotrellis_extensions_spark.operators.zonal import aggregate_spatial
+from openeo_geotrellis_extensions_spark.sources.datacube import (
+    arithmetic_cube,
+    constant_cube,
+    media_cube,
+)
+from openeo_geotrellis_extensions_spark.sources.interleaved import (
+    DATES,
+    doc_attr_sql,
+    extract_geometries,
+    synth_docs,
+)
+
+# ---------------------------------------------------------------------------
+# Shared fixtures (SQL-expressible: axis-aligned rects with off-grid bounds
+# so no doc coordinate or pixel center ever lies exactly on a boundary)
+# ---------------------------------------------------------------------------
+
+#: (feature_index, xmin, ymin, xmax, ymax) — feature 0 covers the hot cell.
+RECT_FEATURES = [
+    (0, 3.89995, 50.59995, 4.80005, 51.50005),
+    (1, -50.00005, -30.00005, 30.00005, 40.00005),
+    (2, 4.00005, 49.99995, 60.00005, 80.00005),   # overlaps feature 0
+    (3, 170.00005, -80.00005, 171.00005, -79.00005),
+]
+
+#: Zonal fixture layout: 4x4 tiles of 16x16 px over (0,0)-(4,4) deg.
+ZONAL_LAYOUT = LayoutDefinition(Extent(0.0, 0.0, 4.0, 4.0), 4, 4, 16, 16)
+
+#: Zonal features (rects in the layout, off pixel-center grid), one outside.
+ZONAL_RECTS = [
+    (0, 0.49995, 0.49995, 1.50005, 1.50005),
+    (1, 0.89995, 0.89995, 3.10005, 3.10005),
+    (2, 10.0, 10.0, 11.0, 11.0),  # outside the layout -> dense NaN rows
+]
+
+
+def _rect_geojson(x0, y0, x1, y1) -> str:
+    return json.dumps(
+        {
+            "type": "Polygon",
+            "coordinates": [[[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]]],
+        }
+    )
+
+
+def _features_df(spark: SparkSession, rects) -> DataFrame:
+    return spark.createDataFrame(
+        [(fi, _rect_geojson(x0, y0, x1, y1)) for fi, x0, y0, x1, y1 in rects],
+        ["feature_index", "geojson"],
+    )
+
+
+def _n_docs(spark: SparkSession, sf_dir: str) -> int:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+
+
+# ---------------------------------------------------------------------------
+# entry — flagship pipeline smoke
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Interleaved docs (sf0.001 scale) -> media datacube -> zonal stats."""
+    sf_dir = "/root/testdata/sf0.001"
+    docs = synth_docs(spark, _n_docs(spark, sf_dir))
+    cube = media_cube(docs, tile_size=16)
+    feats = _features_df(
+        spark,
+        [(0, 3.89995, 50.59995, 4.80005, 51.50005), (1, -180.0, -90.0, 180.0, 90.0)],
+    )
+    out = aggregate_spatial(cube, feats, round_to=6)
+    return out.select(
+        F.date_format("time", "yyyy-MM-dd").alias("date"),
+        "feature_index",
+        "band",
+        F.col("count").cast("long").alias("count"),
+        F.col("mean").cast("double").alias("mean"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def _q_doc_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tiling assignment: every doc's geometry -> (tile_col, tile_row) in the
+    world media layout + hot-cell flag. Engine path: GeoJSON parse (Arrow UDF)
+    -> bbox center -> key arithmetic."""
+    docs = synth_docs(spark, _n_docs(spark, sf_dir))
+    geo = extract_geometries(docs)
+    per_doc = geo.groupBy("doc_id").agg(
+        ((F.min("xmin") + F.max("xmax")) / 2).alias("lon"),
+        ((F.min("ymin") + F.max("ymax")) / 2).alias("lat"),
+    )
+    return per_doc.select(
+        "doc_id",
+        F.round("lon", 4).cast("double").alias("lon"),
+        F.round("lat", 4).cast("double").alias("lat"),
+        F.floor((F.col("lon") + 180.0) * 512 / 360.0).cast("int").alias("tile_col"),
+        F.floor((90.0 - F.col("lat")) * 256 / 180.0).cast("int").alias("tile_row"),
+    )
+
+
+def _oracle_doc_cells() -> str:
+    a = doc_attr_sql("doc_id")
+    return f"""
+        SELECT printf('doc_%08d', doc_id) AS doc_id,
+               ROUND({a['lon']}, 4) AS lon,
+               ROUND({a['lat']}, 4) AS lat,
+               CAST({a['tile_col']} AS INT) AS tile_col,
+               CAST({a['tile_row']} AS INT) AS tile_row
+        FROM documents
+    """
+
+
+def _q_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial join: every geometry span of every doc vs the rect feature set
+    — cell-cover join + PIP refine; returns one row per (doc, span, feature)."""
+    docs = synth_docs(spark, _n_docs(spark, sf_dir))
+    geo = extract_geometries(docs).select(
+        "doc_id",
+        "span_idx",
+        ((F.col("xmin") + F.col("xmax")) / 2).alias("rep_x"),
+        ((F.col("ymin") + F.col("ymax")) / 2).alias("rep_y"),
+    )
+    feats = _features_df(spark, RECT_FEATURES)
+    out = spatial_join_points(geo, feats, res=7)
+    return out.select(
+        "doc_id", F.col("span_idx").cast("int").alias("span_idx"),
+        F.col("feature_index").cast("int").alias("feature_index"),
+    )
+
+
+def _oracle_spatial_join() -> str:
+    a = doc_attr_sql("id")
+    feats = " UNION ALL ".join(
+        f"SELECT {fi} AS feature_index, CAST({x0} AS DOUBLE) AS x0, "
+        f"CAST({y0} AS DOUBLE) AS y0, CAST({x1} AS DOUBLE) AS x1, CAST({y1} AS DOUBLE) AS y1"
+        for fi, x0, y0, x1, y1 in RECT_FEATURES
+    )
+    return f"""
+        WITH ids AS (SELECT doc_id AS id FROM documents),
+        geo_spans AS (
+            SELECT id, CAST(j AS INT) AS span_idx,
+                   {a['lon']} AS x, {a['lat']} AS y
+            FROM ids, generate_series(0, 4) t(j)
+            WHERE j < 2 + (id % 4)
+              AND (id + j) % 3 < 2
+              AND (j <= 1 OR (id + j) % 2 = 0)
+        ),
+        feats AS ({feats})
+        SELECT printf('doc_%08d', g.id) AS doc_id, g.span_idx, f.feature_index
+        FROM geo_spans g JOIN feats f
+          ON g.x > f.x0 AND g.x < f.x1 AND g.y > f.y0 AND g.y < f.y1
+    """
+
+
+_ZONAL_SELECT = [
+    "date", "feature_index", "band", "count", "sum", "min", "max", "mean",
+]
+
+
+def _zonal_output(out: DataFrame) -> DataFrame:
+    return out.select(
+        F.date_format("time", "yyyy-MM-dd").alias("date"),
+        F.col("feature_index").cast("int").alias("feature_index"),
+        F.col("band").cast("int").alias("band"),
+        F.col("count").cast("long").alias("count"),
+        F.round("sum", 4).cast("double").alias("sum"),
+        F.col("min").cast("double").alias("min"),
+        F.col("max").cast("double").alias("max"),
+        F.round("mean", 6).cast("double").alias("mean"),
+    )
+
+
+def _q_zonal_const(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """aggregate_spatial over the constant fixture cube
+    (AggregateSpatialTest.scala:199-227 semantics: mean=10, nodata band NULL,
+    outside-extent feature -> dense NULL rows)."""
+    cube = constant_cube(spark, ZONAL_LAYOUT)
+    feats = _features_df(spark, ZONAL_RECTS)
+    return _zonal_output(aggregate_spatial(cube, feats))
+
+
+def _q_zonal_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """aggregate_spatial over the arithmetic cube — every pixel value is
+    reproducible in SQL, so stats are value-checked end to end."""
+    cube = arithmetic_cube(spark, ZONAL_LAYOUT, n_bands=2)
+    feats = _features_df(spark, ZONAL_RECTS)
+    return _zonal_output(aggregate_spatial(cube, feats))
+
+
+def _zonal_oracle(pixel_value_case: str, n_bands: int) -> str:
+    """Shared zonal oracle: regenerate the 4x4x16x16 pixel grid, PIP against
+    the rect features, aggregate, dense-restore."""
+    dates = " UNION ALL ".join(
+        f"SELECT {i} AS di, '{d}' AS date" for i, d in enumerate(DATES)
+    )
+    feats = " UNION ALL ".join(
+        f"SELECT {fi} AS feature_index, CAST({x0} AS DOUBLE) AS x0, "
+        f"CAST({y0} AS DOUBLE) AS y0, CAST({x1} AS DOUBLE) AS x1, CAST({y1} AS DOUBLE) AS y1"
+        for fi, x0, y0, x1, y1 in ZONAL_RECTS
+    )
+    bands = " UNION ALL ".join(f"SELECT {b} AS band" for b in range(n_bands))
+    return f"""
+        WITH dates AS ({dates}),
+        feats AS ({feats}),
+        bands AS ({bands}),
+        tiles AS (SELECT c.c AS c, r.r AS r
+                  FROM generate_series(0, 3) c(c), generate_series(0, 3) r(r)),
+        px AS (SELECT CAST(px AS INT) AS px FROM generate_series(0, 15) t(px)),
+        py AS (SELECT CAST(py AS INT) AS py FROM generate_series(0, 15) t(py)),
+        pixels AS (
+            SELECT d.di, d.date, b.band, t.c, t.r, px.px, py.py,
+                   0.0 + t.c * 1.0 + (px.px + 0.5) * 0.0625 AS x,
+                   4.0 - t.r * 1.0 - (py.py + 0.5) * 0.0625 AS y,
+                   {pixel_value_case} AS v
+            FROM dates d, bands b, tiles t, px, py
+        ),
+        stats AS (
+            SELECT p.date, f.feature_index, p.band,
+                   CAST(COUNT(p.v) AS BIGINT) AS count,
+                   ROUND(SUM(p.v), 4) AS sum,
+                   MIN(p.v) AS min,
+                   MAX(p.v) AS max,
+                   ROUND(AVG(p.v), 6) AS mean
+            FROM pixels p JOIN feats f
+              ON p.x > f.x0 AND p.x < f.x1 AND p.y > f.y0 AND p.y < f.y1
+            GROUP BY p.date, f.feature_index, p.band
+        ),
+        dense AS (
+            SELECT d.date, f.feature_index, b.band FROM dates d, feats f, bands b
+        )
+        SELECT dn.date, dn.feature_index, dn.band,
+               COALESCE(s.count, 0) AS count, s.sum, s.min, s.max, s.mean
+        FROM dense dn
+        LEFT JOIN stats s
+          ON s.date = dn.date AND s.feature_index = dn.feature_index AND s.band = dn.band
+    """
+
+
+_CONST_VALUE = "CASE WHEN b.band = 0 THEN CAST(10 AS DOUBLE) END"
+_ARITH_VALUE = (
+    "CASE WHEN (px.px + py.py + t.c + t.r + d.di) % 13 = 0 THEN NULL "
+    "ELSE CAST((px.px*3 + py.py*5 + t.c*13 + t.r*7 + d.di*11 + b.band*17) % 97 AS DOUBLE) END"
+)
+
+
+def _q_agg_reducers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's aggregate-reducer inventory
+    (SparkAggregateScriptBuilder.scala:126-150) exercised relationally on
+    lineitem: sum/avg/min/max/count/stddev/variance/median/quantiles."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.min("l_quantity").cast("double").alias("min_qty"),
+            F.max("l_quantity").cast("double").alias("max_qty"),
+            F.count(F.lit(1)).cast("long").alias("count_order"),
+            F.round(F.stddev("l_extendedprice"), 6).alias("sd_price"),
+            F.round(F.var_samp("l_extendedprice"), 4).alias("var_price"),
+            F.round(F.expr("percentile(l_discount, 0.5)"), 6).alias("median_disc"),
+            F.round(F.expr("percentile(l_extendedprice, 0.25)"), 4).alias("q25_price"),
+            F.round(F.expr("percentile(l_extendedprice, 0.75)"), 4).alias("q75_price"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+_ORACLE_AGG_REDUCERS = """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 4) AS sum_qty,
+           ROUND(AVG(l_quantity), 6) AS avg_qty,
+           MIN(l_quantity) AS min_qty,
+           MAX(l_quantity) AS max_qty,
+           CAST(COUNT(*) AS BIGINT) AS count_order,
+           ROUND(STDDEV_SAMP(l_extendedprice), 6) AS sd_price,
+           ROUND(VAR_SAMP(l_extendedprice), 4) AS var_price,
+           ROUND(QUANTILE_CONT(l_discount, 0.5), 6) AS median_disc,
+           ROUND(QUANTILE_CONT(l_extendedprice, 0.25), 4) AS q25_price,
+           ROUND(QUANTILE_CONT(l_extendedprice, 0.75), 4) AS q75_price
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def _q_temporal_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """aggregate_temporal_period analog (OpenEOProcesses.scala:403-421 /
+    F.date_trunc + groupBy, SURVEY §2.5) on the events table."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("month", "ts"), "yyyy-MM").alias("month"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+        .orderBy("month", "event_type")
+    )
+
+
+_ORACLE_TEMPORAL_PERIOD = """
+    SELECT strftime(date_trunc('month', ts), '%Y-%m') AS month,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 4) AS sum_value,
+           ROUND(AVG(value), 6) AS avg_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+"""
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "doc_cells": _q_doc_cells,
+        "spatial_join": _q_spatial_join,
+        "zonal_stats_const": _q_zonal_const,
+        "zonal_stats_arith": _q_zonal_arith,
+        "agg_reducers": _q_agg_reducers,
+        "aggregate_temporal_period": _q_temporal_period,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "doc_cells": _oracle_doc_cells(),
+        "spatial_join": _oracle_spatial_join(),
+        "zonal_stats_const": _zonal_oracle(_CONST_VALUE, 2),
+        "zonal_stats_arith": _zonal_oracle(_ARITH_VALUE, 2),
+        "agg_reducers": _ORACLE_AGG_REDUCERS,
+        "aggregate_temporal_period": _ORACLE_TEMPORAL_PERIOD,
+    }

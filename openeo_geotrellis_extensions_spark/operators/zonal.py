@@ -1,0 +1,206 @@
+"""aggregate_spatial — zonal statistics of a datacube over polygon features.
+
+Reference pipeline (AggregatePolygonProcess.aggregateSpatialGeneric,
+openeo-geotrellis/.../aggregate_polygon/AggregatePolygonProcess.scala:238-374):
+rasterize polygons to a zone layer, join with the cube, emit one Row per
+(date, feature, pixel), then Spark SQL groupBy("date","feature_index").agg.
+
+Ours keeps the same relational tail but replaces the pixel-row explosion with
+**map-side partial aggregation inside the Arrow UDF** (count/sum/min/max/ssq
+per tile — the RunningTotal monoid of intern/ZonalRunningTotal.scala:16-101,
+generalized), so shuffle volume is O(tiles x features x bands), not
+O(pixels). A pixel covered by k overlapping polygons contributes to all k
+(the reference's multi-zone emit, AggregatePolygonProcess.scala:287-306).
+
+Dense-result semantics preserved: every (date, feature) pair appears in the
+output even when no valid pixels exist (NaN stats) — the reference's
+left-join restore at AggregatePolygonProcess.scala:365-370.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from ..core.geom import classify_rect, parse_geometry, points_in_geometry
+from ..core.grid import LayoutDefinition
+from ..sources.datacube import DataCube
+
+_KEYS_SCHEMA = StructType(
+    [
+        StructField("feature_index", IntegerType()),
+        StructField("col", IntegerType()),
+        StructField("row", IntegerType()),
+        StructField("contained", IntegerType()),  # 1 = tile fully inside feature
+    ]
+)
+
+
+def feature_tile_keys(features: DataFrame, layout: LayoutDefinition) -> DataFrame:
+    """(feature_index, geojson) -> candidate layout tile keys, the clipToGrid
+    analog (FileLayerProvider.scala:1060-1093). Pure key metadata — no pixels
+    touched — so downstream joins prune cube partitions before any decode
+    (the reference's 'required keys before read' pushdown, SURVEY §4)."""
+
+    def keys(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for fi, gj in zip(pdf["feature_index"], pdf["geojson"]):
+                g = parse_geometry(gj)
+                if g is None:
+                    continue
+                bb = g.bbox()
+                for c, r in layout.keys_for_extent(bb):
+                    cls = classify_rect(g, layout.extent_for_key(c, r))
+                    if cls == 0 and g.kind not in ("Point", "MultiPoint"):
+                        continue
+                    rows.append((int(fi), c, r, 1 if cls == 2 else 0))
+            yield pd.DataFrame(rows, columns=["feature_index", "col", "row", "contained"])
+
+    return features.mapInPandas(keys, schema=_KEYS_SCHEMA)
+
+
+_PARTIAL_SCHEMA = StructType(
+    [
+        StructField("time", TimestampType()),
+        StructField("feature_index", IntegerType()),
+        StructField("band", IntegerType()),
+        StructField("cnt", LongType()),
+        StructField("total", LongType()),  # valid + nodata pixels in zone
+        StructField("sm", DoubleType()),
+        StructField("mn", DoubleType()),
+        StructField("mx", DoubleType()),
+        StructField("ssq", DoubleType()),
+    ]
+)
+
+
+def aggregate_spatial(
+    cube: DataCube,
+    features: DataFrame,
+    round_to: int | None = None,
+) -> DataFrame:
+    """Zonal stats: (time, feature_index, band, count, mean, min, max, sum,
+    variance, sd) — one row per (date x feature x band), dense.
+
+    variance/sd are the sample statistics, matching the reference's use of
+    Spark's ``variance``/``stddev`` (SparkAggregateScriptBuilder.scala:126-150).
+    """
+    layout = cube.meta.layout
+    ct_name = cube.meta.cell_type
+    shape = cube.meta.tile_shape
+    n_bands = cube.meta.n_bands
+
+    fkeys = F.broadcast(feature_tile_keys(features, layout))
+    joined = cube.df.join(fkeys, ["col", "row"], "inner").join(
+        F.broadcast(features), "feature_index", "inner"
+    )
+
+    from ..core.tiles import decode_tile_float
+
+    def partials(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        geom_cache: dict[int, object] = {}
+        mask_cache: dict[tuple, np.ndarray] = {}
+        for pdf in it:
+            rows = []
+            for t, c, r, bands, fi, contained, gj in zip(
+                pdf["time"], pdf["col"], pdf["row"], pdf["bands"],
+                pdf["feature_index"], pdf["contained"], pdf["geojson"],
+            ):
+                c, r, fi = int(c), int(r), int(fi)
+                mkey = (fi, c, r)
+                mask = mask_cache.get(mkey)
+                if mask is None:
+                    if contained:
+                        mask = np.ones(shape, dtype=bool)
+                    else:
+                        g = geom_cache.get(fi)
+                        if g is None:
+                            g = parse_geometry(gj)
+                            geom_cache[fi] = g
+                        xs, ys = layout.pixel_centers_for_key(c, r)
+                        if g.kind in ("Point", "MultiPoint"):
+                            mask = np.zeros(shape, dtype=bool)
+                            for px_, py_ in g.points:
+                                pc, pr = layout.key_for_point(px_, py_)
+                                if (pc, pr) == (c, r):
+                                    ix = int((px_ - xs[0] + layout.cell_width / 2) // layout.cell_width)
+                                    iy = int((ys[0] - py_ + layout.cell_height / 2) // layout.cell_height)
+                                    if 0 <= iy < shape[0] and 0 <= ix < shape[1]:
+                                        mask[iy, ix] = True
+                        else:
+                            gx, gy = np.meshgrid(xs, ys)
+                            mask = points_in_geometry(
+                                g, gx.ravel(), gy.ravel()
+                            ).reshape(shape)
+                    mask_cache[mkey] = mask
+                total = int(mask.sum())
+                if total == 0:
+                    continue
+                stack = decode_tile_float(list(bands), ct_name, shape)
+                for b in range(n_bands):
+                    vals = stack[b][mask]
+                    vals = vals[~np.isnan(vals)]
+                    cnt = vals.size
+                    if cnt == 0:
+                        # no valid pixels: emit nothing — NaN partials would
+                        # poison group min/max; dense restore fills the row
+                        continue
+                    rows.append(
+                        (t, fi, b, int(cnt), total, float(vals.sum()),
+                         float(vals.min()), float(vals.max()),
+                         float((vals.astype(np.float64) ** 2).sum()))
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["time", "feature_index", "band", "cnt", "total",
+                         "sm", "mn", "mx", "ssq"],
+            )
+
+    part = joined.mapInPandas(partials, schema=_PARTIAL_SCHEMA)
+
+    agg = part.groupBy("time", "feature_index", "band").agg(
+        F.sum("cnt").alias("count"),
+        F.sum("sm").alias("sum"),
+        F.min("mn").alias("min"),
+        F.max("mx").alias("max"),
+        F.sum("ssq").alias("_ssq"),
+    )
+    mean = F.when(F.col("count") > 0, F.col("sum") / F.col("count"))
+    var = F.when(
+        F.col("count") > 1,
+        (F.col("_ssq") - F.col("count") * (F.col("sum") / F.col("count")) ** 2)
+        / (F.col("count") - 1),
+    )
+    stats = agg.select(
+        "time", "feature_index", "band", "count", "sum", "min", "max",
+        mean.alias("mean"),
+        var.alias("variance"),
+        F.sqrt(F.greatest(var, F.lit(0.0))).alias("sd"),
+    )
+
+    # dense restore: every (date, feature, band) present even with 0 pixels
+    dates = cube.df.select("time").distinct()
+    bands_df = dates.sparkSession.range(n_bands).select(F.col("id").cast("int").alias("band"))
+    full = dates.crossJoin(F.broadcast(features.select("feature_index"))).crossJoin(
+        F.broadcast(bands_df)
+    )
+    out = full.join(stats, ["time", "feature_index", "band"], "left").withColumn(
+        "count", F.coalesce(F.col("count"), F.lit(0))
+    )
+    if round_to is not None:
+        for c in ("sum", "min", "max", "mean", "variance", "sd"):
+            out = out.withColumn(c, F.round(F.col(c), round_to))
+    return out

@@ -1,0 +1,112 @@
+"""Spatial join (cell-cover + PIP refine) vs a brute-force single-node
+oracle — the row-for-row join-output gate (BASELINE north_rule)."""
+
+import json
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from openeo_geotrellis_extensions_spark.core.geom import (
+    parse_geometry,
+    points_in_geometry,
+)
+from openeo_geotrellis_extensions_spark.operators.spatial_join import (
+    cell_for_point_col,
+    cover_cells_for_features,
+    spatial_join_points,
+)
+from openeo_geotrellis_extensions_spark.core.grid import GlobalGrid
+from openeo_geotrellis_extensions_spark.sources.interleaved import (
+    extract_geometries,
+    synth_docs,
+)
+
+FEATURES = [
+    # (feature_index, geojson) — chosen to overlap the hot cell + world spread
+    (0, json.dumps({"type": "Polygon", "coordinates": [[[3.8, 50.5], [4.8, 50.5], [4.8, 51.5], [3.8, 51.5], [3.8, 50.5]]]})),
+    (1, json.dumps({"type": "Polygon", "coordinates": [[[-50.0, -30.0], [30.0, -30.0], [30.0, 40.0], [-50.0, 40.0], [-50.0, -30.0]]]})),
+    # overlaps feature 0 partially — a point in both yields 2 rows
+    (2, json.dumps({"type": "Polygon", "coordinates": [[[4.0, 50.0], [60.0, 50.0], [60.0, 80.0], [4.0, 80.0], [4.0, 50.0]]]})),
+    # degenerate-small polygon far away
+    (3, json.dumps({"type": "Polygon", "coordinates": [[[170.0, -80.0], [171.0, -80.0], [171.0, -79.0], [170.0, -79.0], [170.0, -80.0]]]})),
+]
+
+
+@pytest.fixture(scope="module")
+def features_df(spark):
+    return spark.createDataFrame(FEATURES, ["feature_index", "geojson"])
+
+
+@pytest.fixture(scope="module")
+def points(spark):
+    docs = synth_docs(spark, 300)
+    return (
+        extract_geometries(docs)
+        .where("geom_kind = 'Point'")
+        .select("doc_id", "span_idx", "rep_x", "rep_y")
+        .cache()
+    )
+
+
+def test_cell_for_point_col_matches_numpy(spark):
+    df = spark.range(100).selectExpr(
+        "CAST(id AS DOUBLE) * 3.1 - 160 AS x", "CAST(id AS DOUBLE) * 1.7 - 85 AS y"
+    )
+    got = df.select("x", "y", cell_for_point_col(7, F.col("x"), F.col("y"))).collect()
+    for r in got:
+        assert r.cell == int(GlobalGrid.cell_for_point(7, np.array([r.x]), np.array([r.y]))[0])
+
+
+def test_cover_cells_contain_all_feature_area(spark, features_df):
+    cover = cover_cells_for_features(features_df, res=6).collect()
+    by_f = {}
+    for r in cover:
+        by_f.setdefault(r.feature_index, []).append(r)
+    # every feature produces cells; contained flags only on truly interior cells
+    for fi, gj in FEATURES:
+        assert fi in by_f, f"feature {fi} has no cover"
+        g = parse_geometry(gj)
+        for r in by_f[fi]:
+            e = GlobalGrid.cell_extent(r.cell)
+            if r.contained:
+                corners = points_in_geometry(
+                    g,
+                    np.array([e.xmin, e.xmax, e.xmax, e.xmin]),
+                    np.array([e.ymin, e.ymin, e.ymax, e.ymax]),
+                )
+                assert corners.all()
+
+
+@pytest.mark.parametrize("res", [4, 7])
+def test_join_matches_bruteforce_oracle(spark, features_df, points, res):
+    got = (
+        spatial_join_points(points, features_df, res=res)
+        .select("doc_id", "span_idx", "feature_index")
+        .collect()
+    )
+    got_set = {(r.doc_id, r.span_idx, r.feature_index) for r in got}
+    assert len(got) == len(got_set), "duplicate join rows"
+
+    pts = points.collect()
+    geoms = {fi: parse_geometry(gj) for fi, gj in FEATURES}
+    exp = set()
+    for p in pts:
+        for fi, g in geoms.items():
+            if points_in_geometry(g, np.array([p.rep_x]), np.array([p.rep_y]))[0]:
+                exp.add((p.doc_id, p.span_idx, fi))
+    assert got_set == exp
+
+
+def test_multi_feature_point_yields_k_rows(spark, features_df, points):
+    """A point inside overlapping features appears once per feature
+    (reference multi-zone emit, AggregatePolygonProcess.scala:287-306)."""
+    got = spatial_join_points(points, features_df, res=6)
+    multi = (
+        got.groupBy("doc_id", "span_idx")
+        .agg(F.countDistinct("feature_index").alias("k"))
+        .where("k >= 2")
+        .count()
+    )
+    # hot-cell points (4.0-4.7 E, 50.7-51.4 N) are inside features 0 AND 2
+    assert multi > 0
