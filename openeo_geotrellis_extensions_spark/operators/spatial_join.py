@@ -126,17 +126,17 @@ def spatial_join_points(
     else:
         feat = features
     pts = points.withColumn("cell", cell_for_point_col(res, F.col(x_col), F.col(y_col)))
-    cand = pts.join(cover, "cell", "inner")
-    # contained cells need no refine; the rest carry geojson into the PIP UDF
-    sure = cand.where(F.col("contained")).drop("contained", "cell")
-    unsure = (
-        cand.where(~F.col("contained"))
-        .drop("contained", "cell")
+    # single pipeline: candidates keep the contained flag; PIP runs only on
+    # boundary-cell rows (interior 'contained' rows short-circuit in the UDF,
+    # avoiding a union of two branches that would re-execute the upstream DAG)
+    cand = (
+        pts.join(cover, "cell", "inner")
+        .drop("cell")
         .join(feat, "feature_index", "inner")
     )
 
     out_schema = StructType(
-        [f for f in unsure.schema.fields if f.name != "geojson"]
+        [f for f in cand.schema.fields if f.name not in ("geojson", "contained")]
     )
     names = [f.name for f in out_schema.fields]
 
@@ -145,19 +145,19 @@ def spatial_join_points(
         for pdf in it:
             if len(pdf) == 0:
                 continue
-            keep = np.zeros(len(pdf), dtype=bool)
+            keep = pdf["contained"].to_numpy(dtype=bool).copy()
+            todo = ~keep
             xs = pdf[x_col].to_numpy(dtype=np.float64)
             ys = pdf[y_col].to_numpy(dtype=np.float64)
             fis = pdf["feature_index"].to_numpy()
-            for fi in np.unique(fis):
+            for fi in np.unique(fis[todo]):
                 g = cache.get(int(fi))
                 if g is None:
                     gj = pdf.loc[pdf["feature_index"] == fi, "geojson"].iloc[0]
                     g = parse_geometry(gj)
                     cache[int(fi)] = g
-                m = fis == fi
+                m = todo & (fis == fi)
                 keep[m] = points_in_geometry(g, xs[m], ys[m])
             yield pdf.loc[keep, names]
 
-    refined = unsure.mapInPandas(refine, schema=out_schema)
-    return sure.select(*names).unionByName(refined)
+    return cand.mapInPandas(refine, schema=out_schema)

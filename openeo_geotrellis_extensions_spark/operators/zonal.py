@@ -54,20 +54,68 @@ def feature_tile_keys(features: DataFrame, layout: LayoutDefinition) -> DataFram
     touched — so downstream joins prune cube partitions before any decode
     (the reference's 'required keys before read' pushdown, SURVEY §4)."""
 
+    def block_keys(g, c0: int, c1: int, r0: int, r1: int, out: list) -> None:
+        """Quadtree subdivision over the key grid: one classify per block, so
+        a feature covering K tiles costs O(perimeter + log K) classifies
+        instead of K (the compact-cover idea applied to layout keys)."""
+        w0 = layout.extent_for_key(c0, r0)
+        w1 = layout.extent_for_key(c1, r1)
+        block = type(w0)(w0.xmin, w1.ymin, w1.xmax, w0.ymax)
+        cls = classify_rect(g, block)
+        if cls == 0:
+            return
+        if cls == 2:
+            out.append((c0, c1, r0, r1, 1))
+            return
+        if c0 == c1 and r0 == r1:
+            out.append((c0, c1, r0, r1, 0))
+            return
+        cm = (c0 + c1) // 2
+        rm = (r0 + r1) // 2
+        for cc0, cc1 in ((c0, cm), (cm + 1, c1)) if c1 > c0 else ((c0, c1),):
+            for rr0, rr1 in ((r0, rm), (rm + 1, r1)) if r1 > r0 else ((r0, r1),):
+                block_keys(g, cc0, cc1, rr0, rr1, out)
+
     def keys(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            rows = []
+            fis, cols, rows_, conts = [], [], [], []
             for fi, gj in zip(pdf["feature_index"], pdf["geojson"]):
                 g = parse_geometry(gj)
                 if g is None:
                     continue
+                if g.kind in ("Point", "MultiPoint"):
+                    seen = set()
+                    for px_, py_ in g.points:
+                        k = layout.key_for_point(px_, py_)
+                        if (
+                            k not in seen
+                            and 0 <= k[0] < layout.layout_cols
+                            and 0 <= k[1] < layout.layout_rows
+                        ):
+                            seen.add(k)
+                            fis.append(int(fi)); cols.append(k[0])
+                            rows_.append(k[1]); conts.append(0)
+                    continue
                 bb = g.bbox()
-                for c, r in layout.keys_for_extent(bb):
-                    cls = classify_rect(g, layout.extent_for_key(c, r))
-                    if cls == 0 and g.kind not in ("Point", "MultiPoint"):
-                        continue
-                    rows.append((int(fi), c, r, 1 if cls == 2 else 0))
-            yield pd.DataFrame(rows, columns=["feature_index", "col", "row", "contained"])
+                ks = list(layout.keys_for_extent(bb))
+                if not ks:
+                    continue
+                c0 = min(k[0] for k in ks); c1 = max(k[0] for k in ks)
+                r0 = min(k[1] for k in ks); r1 = max(k[1] for k in ks)
+                blocks: list[tuple[int, int, int, int, int]] = []
+                block_keys(g, c0, c1, r0, r1, blocks)
+                for bc0, bc1, br0, br1, cont in blocks:
+                    cc, rr = np.meshgrid(
+                        np.arange(bc0, bc1 + 1), np.arange(br0, br1 + 1)
+                    )
+                    n = cc.size
+                    fis.extend([int(fi)] * n)
+                    cols.extend(cc.ravel().tolist())
+                    rows_.extend(rr.ravel().tolist())
+                    conts.extend([cont] * n)
+            yield pd.DataFrame(
+                {"feature_index": fis, "col": cols, "row": rows_, "contained": conts}
+            )
 
     return features.mapInPandas(keys, schema=_KEYS_SCHEMA)
 

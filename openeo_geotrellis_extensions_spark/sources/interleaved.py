@@ -149,7 +149,10 @@ def synth_docs(spark: SparkSession, n_docs: int, partitions: int | None = None) 
           )
         )
     """
-    df = spark.range(0, n_docs, 1, numPartitions=partitions or max(1, n_docs // 50_000) or 1)
+    if partitions is None:
+        # enough splits to keep every core busy, bounded by ~25k docs/partition
+        partitions = max(spark.sparkContext.defaultParallelism, n_docs // 25_000)
+    df = spark.range(0, n_docs, 1, numPartitions=partitions)
     return df.select(
         F.format_string("doc_%08d", F.col("id")).alias("doc_id"),
         F.expr(span).alias("spans"),
