@@ -343,6 +343,272 @@ _ORACLE_TEMPORAL_PERIOD = """
 """
 
 
+# ---------------------------------------------------------------------------
+# Digest-checked raster operator queries (cube pixels are closed-form, so
+# DuckDB regenerates them and recomputes each operator's result in SQL)
+# ---------------------------------------------------------------------------
+
+import numpy as np  # noqa: E402
+
+from openeo_geotrellis_extensions_spark.core.grid import (  # noqa: E402
+    Extent as _Extent,
+)
+from openeo_geotrellis_extensions_spark.operators.apply_process import (  # noqa: E402
+    reduce_bands,
+    reduce_time,
+)
+from openeo_geotrellis_extensions_spark.operators.kernel import apply_kernel  # noqa: E402
+from openeo_geotrellis_extensions_spark.operators.mask import mask as mask_op  # noqa: E402
+from openeo_geotrellis_extensions_spark.operators.merge import merge_cubes  # noqa: E402
+from openeo_geotrellis_extensions_spark.operators.resample import retile  # noqa: E402
+from openeo_geotrellis_extensions_spark.operators.temporal import (  # noqa: E402
+    aggregate_temporal,
+)
+from openeo_geotrellis_extensions_spark.plans.digest import cube_digest  # noqa: E402
+
+#: digest fixture layout: 2x2 tiles of 8x8 px over (0,0)-(2,2)
+DIGEST_LAYOUT = LayoutDefinition(_Extent(0.0, 0.0, 2.0, 2.0), 2, 2, 8, 8)
+
+# pixel formulas shared Spark <-> SQL (b = band)
+_VA = "(px.px*3 + py.py*5 + t.c*13 + t.r*7 + d.di*11 + {b}*17) % 97"
+_NA = "(px.px + py.py + t.c + t.r + d.di) % 13 = 0"
+_VB = "(px.px*2 + py.py*3 + t.c*5 + t.r*7 + d.di*13) % 89"
+_NB = "(px.px + py.py + d.di) % 17 = 0"
+
+
+def _fn_b(d, b, c, r, py, px):
+    v = ((px * 2 + py * 3 + c * 5 + r * 7 + d * 13) % 89).astype(np.float64)
+    v[(px + py + d) % 17 == 0] = np.nan
+    return v
+
+
+def _digest_base_cte() -> str:
+    dates = " UNION ALL ".join(
+        f"SELECT {i} AS di, '{d}' AS date" for i, d in enumerate(DATES)
+    )
+    return f"""
+        dates AS ({dates}),
+        tiles AS (SELECT CAST(c AS INT) AS c, CAST(r AS INT) AS r
+                  FROM generate_series(0, 1) t1(c), generate_series(0, 1) t2(r)),
+        px AS (SELECT CAST(px AS INT) AS px FROM generate_series(0, 7) t(px)),
+        py AS (SELECT CAST(py AS INT) AS py FROM generate_series(0, 7) t(py))
+    """
+
+
+def _digest_tail(src: str, group_date: bool = True) -> str:
+    """Aggregate a pixels relation (date, c, r, band, v) into tile digests."""
+    date_sel = "p.date, " if group_date else ""
+    return f"""
+        SELECT {date_sel}p.c AS col, p.r AS row, p.band,
+               CAST(COUNT(p.v) AS BIGINT) AS cnt,
+               ROUND(SUM(p.v), 4) AS sm,
+               ROUND(MIN(p.v), 4) AS mn,
+               ROUND(MAX(p.v), 4) AS mx
+        FROM ({src}) p
+        GROUP BY {date_sel}p.c, p.r, p.band
+    """
+
+
+def _q_merge_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """merge_cubes with 'sum' overlap resolver (OpenEOProcesses.scala:978-994;
+    sum ignores nodata unless both sides nodata, AddIgnoreNodata semantics)."""
+    a = arithmetic_cube(spark, DIGEST_LAYOUT, n_bands=1, cell_type="int32")
+    b = arithmetic_cube(
+        spark, DIGEST_LAYOUT, n_bands=1, cell_type="int32", value_fn=_fn_b
+    )
+    return cube_digest(merge_cubes(a, b, "sum"))
+
+
+def _oracle_merge_sum() -> str:
+    src = f"""
+        SELECT d.date, t.c, t.r, 0 AS band,
+               CASE WHEN ({_NA.format(b=0)}) AND ({_NB})
+                    THEN NULL
+                    ELSE COALESCE(CASE WHEN {_NA.format(b=0)} THEN NULL
+                                       ELSE CAST({_VA.format(b=0)} AS DOUBLE) END, 0)
+                       + COALESCE(CASE WHEN {_NB} THEN NULL
+                                       ELSE CAST({_VB} AS DOUBLE) END, 0)
+               END AS v
+        FROM dates d, tiles t, px, py
+    """
+    return f"WITH {_digest_base_cte()} {_digest_tail(src)}"
+
+
+def _q_mask_raster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster mask: hide pixels where mask != 0 (rasterMaskGeneric,
+    DatacubeSupport.scala:191-243)."""
+    data = constant_cube(
+        spark, DIGEST_LAYOUT, band_values=[10], cell_type="uint8ud255"
+    )
+
+    def mask_fn(d, b, c, r, py, px):
+        return (((px + py + c + r) % 5) == 0).astype(np.float64)
+
+    mc = arithmetic_cube(
+        spark, DIGEST_LAYOUT, n_bands=1, cell_type="uint8ud255", value_fn=mask_fn
+    )
+    return cube_digest(mask_op(data, mc))
+
+
+def _oracle_mask_raster() -> str:
+    src = """
+        SELECT d.date, t.c, t.r, 0 AS band,
+               CASE WHEN (px.px + py.py + t.c + t.r) % 5 = 0 THEN NULL
+                    ELSE CAST(10 AS DOUBLE) END AS v
+        FROM dates d, tiles t, px, py
+    """
+    return f"WITH {_digest_base_cte()} {_digest_tail(src)}"
+
+
+def _q_reduce_time_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """reduce_dimension over t with mean (reduceTimeDimension,
+    OpenEOProcesses.scala:122-125) -> spatial cube digest."""
+    cube = arithmetic_cube(spark, DIGEST_LAYOUT, n_bands=1, cell_type="float64")
+    return cube_digest(reduce_time(cube, "mean"))
+
+
+def _oracle_reduce_time_mean() -> str:
+    src = f"""
+        SELECT t.c, t.r, 0 AS band, px.px, py.py,
+               AVG(CASE WHEN {_NA.format(b=0)} THEN NULL
+                        ELSE CAST({_VA.format(b=0)} AS DOUBLE) END) AS v
+        FROM dates d, tiles t, px, py
+        GROUP BY t.c, t.r, px.px, py.py
+    """
+    return f"WITH {_digest_base_cte()} {_digest_tail(src, group_date=False)}"
+
+
+def _q_aggregate_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """aggregate_temporal: half-open intervals + dense empty-interval fill
+    (OpenEOProcesses.scala:423-553)."""
+    cube = arithmetic_cube(spark, DIGEST_LAYOUT, n_bands=1, cell_type="float64")
+    out = aggregate_temporal(
+        cube,
+        intervals=[
+            ("2017-01-01", "2017-02-01"),
+            ("2017-02-01", "2017-03-01"),
+            ("2019-01-01", "2019-02-01"),
+        ],
+        labels=["2017-01-01", "2017-02-01", "2019-01-01"],
+        reducer="mean",
+    )
+    return cube_digest(out)
+
+
+def _oracle_aggregate_temporal() -> str:
+    # di 0,1 -> 2017-01; di 2 -> 2017-02; di 3 (2018-01-15) in no interval;
+    # label 2019-01-01 dense-filled with empty tiles (cnt 0)
+    src = f"""
+        SELECT lbl.date, q.c, q.r, q.band, q.v FROM (
+            SELECT CASE WHEN d.di <= 1 THEN '2017-01-01'
+                        WHEN d.di = 2 THEN '2017-02-01' END AS ivl,
+                   t.c, t.r, 0 AS band, px.px, py.py,
+                   AVG(CASE WHEN {_NA.format(b=0)} THEN NULL
+                            ELSE CAST({_VA.format(b=0)} AS DOUBLE) END) AS v
+            FROM dates d, tiles t, px, py
+            WHERE d.di <= 2
+            GROUP BY 1, t.c, t.r, px.px, py.py
+        ) q JOIN (SELECT '2017-01-01' AS date UNION ALL SELECT '2017-02-01') lbl
+          ON q.ivl = lbl.date
+        UNION ALL
+        SELECT '2019-01-01' AS date, t.c, t.r, 0 AS band, NULL AS v
+        FROM tiles t
+    """
+    # note: the empty-label branch yields one NULL pixel per tile -> COUNT=0
+    return f"WITH {_digest_base_cte()} {_digest_tail(src)}"
+
+
+def _q_retile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """retile 8x8 -> 4x4 tiles (OpenEOProcesses.retile :1001-1047): same
+    pixels, 4x the keys."""
+    cube = arithmetic_cube(spark, DIGEST_LAYOUT, n_bands=1, cell_type="int32")
+    return cube_digest(retile(cube, 4, 4))
+
+
+def _oracle_retile() -> str:
+    src = f"""
+        SELECT d.date,
+               CAST((t.c * 8 + px.px) // 4 AS INT) AS c,
+               CAST((t.r * 8 + py.py) // 4 AS INT) AS r,
+               0 AS band,
+               CASE WHEN {_NA.format(b=0)} THEN NULL
+                    ELSE CAST({_VA.format(b=0)} AS DOUBLE) END AS v
+        FROM dates d, tiles t, px, py
+    """
+    return f"WITH {_digest_base_cte()} {_digest_tail(src)}"
+
+
+def _q_apply_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """apply_kernel 3x3 mean with cross-tile halos
+    (OpenEOProcesses.scala:1101-1130)."""
+    cube = arithmetic_cube(spark, DIGEST_LAYOUT, n_bands=1, cell_type="float64")
+    return cube_digest(apply_kernel(cube, np.full((3, 3), 1.0 / 9)))
+
+
+def _oracle_apply_kernel() -> str:
+    # conv = sum over 3x3 neighborhood (nodata/outside -> 0) / 9; output NULL
+    # where the center pixel is nodata
+    src = f"""
+        SELECT a.date, a.c, a.r, 0 AS band,
+               CASE WHEN a.v IS NULL THEN NULL ELSE n.s / 9.0 END AS v
+        FROM (
+            SELECT d.date, d.di, t.c, t.r, px.px, py.py,
+                   t.c * 8 + px.px AS gx, t.r * 8 + py.py AS gy,
+                   CASE WHEN {_NA.format(b=0)} THEN NULL
+                        ELSE CAST({_VA.format(b=0)} AS DOUBLE) END AS v
+            FROM dates d, tiles t, px, py
+        ) a JOIN (
+            SELECT p.date, p.gx, p.gy, SUM(COALESCE(q.v, 0)) AS s
+            FROM (
+                SELECT d.date, t.c * 8 + px.px AS gx, t.r * 8 + py.py AS gy
+                FROM dates d, tiles t, px, py
+            ) p
+            JOIN (SELECT dx FROM generate_series(-1, 1) t(dx)) ox ON TRUE
+            JOIN (SELECT dy FROM generate_series(-1, 1) t(dy)) oy ON TRUE
+            LEFT JOIN (
+                SELECT d.date, t.c * 8 + px.px AS gx, t.r * 8 + py.py AS gy,
+                       CASE WHEN {_NA.format(b=0)} THEN NULL
+                            ELSE CAST({_VA.format(b=0)} AS DOUBLE) END AS v
+                FROM dates d, tiles t, px, py
+            ) q ON q.date = p.date AND q.gx = p.gx + ox.dx AND q.gy = p.gy + oy.dy
+            GROUP BY p.date, p.gx, p.gy
+        ) n ON n.date = a.date AND n.gx = a.gx AND n.gy = a.gy
+    """
+    return f"WITH {_digest_base_cte()} {_digest_tail(src)}"
+
+
+def _q_reduce_bands_ndvi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """reduce_dimension over bands: normalized_difference(b1, b0)
+    (mapBandsGeneric + process graph, SURVEY §2.6)."""
+    cube = arithmetic_cube(spark, DIGEST_LAYOUT, n_bands=2, cell_type="float64")
+    graph = {
+        "b0": {"process_id": "array_element",
+               "arguments": {"data": {"from_parameter": "data"}, "index": 0}},
+        "b1": {"process_id": "array_element",
+               "arguments": {"data": {"from_parameter": "data"}, "index": 1}},
+        "nd": {"process_id": "normalized_difference",
+               "arguments": {"x": {"from_node": "b1"}, "y": {"from_node": "b0"}},
+               "result": True},
+    }
+    return cube_digest(reduce_bands(cube, graph), round_to=6)
+
+
+def _oracle_reduce_bands_ndvi() -> str:
+    v0 = f"CASE WHEN {_NA.format(b=0)} THEN NULL ELSE CAST({_VA.format(b=0)} AS DOUBLE) END"
+    v1 = f"CASE WHEN {_NA.format(b=1)} THEN NULL ELSE CAST({_VA.format(b=1)} AS DOUBLE) END"
+    src = f"""
+        SELECT date, c, r, band,
+               CASE WHEN v0 IS NULL OR v1 IS NULL OR v0 + v1 = 0 THEN NULL
+                    ELSE (v1 - v0) / (v1 + v0) END AS v
+        FROM (
+            SELECT d.date, t.c, t.r, 0 AS band, {v0} AS v0, {v1} AS v1
+            FROM dates d, tiles t, px, py
+        )
+    """
+    tail = _digest_tail(src).replace(", 4)", ", 6)")
+    return f"WITH {_digest_base_cte()} {tail}"
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_cells": _q_doc_cells,
@@ -351,6 +617,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonal_stats_arith": _q_zonal_arith,
         "agg_reducers": _q_agg_reducers,
         "aggregate_temporal_period": _q_temporal_period,
+        "merge_cubes_sum": _q_merge_sum,
+        "mask_raster": _q_mask_raster,
+        "reduce_time_mean": _q_reduce_time_mean,
+        "aggregate_temporal": _q_aggregate_temporal,
+        "retile": _q_retile,
+        "apply_kernel": _q_apply_kernel,
+        "reduce_bands_ndvi": _q_reduce_bands_ndvi,
     }
 
 
@@ -362,4 +635,11 @@ def oracle_sql() -> dict[str, str]:
         "zonal_stats_arith": _zonal_oracle(_ARITH_VALUE, 2),
         "agg_reducers": _ORACLE_AGG_REDUCERS,
         "aggregate_temporal_period": _ORACLE_TEMPORAL_PERIOD,
+        "merge_cubes_sum": _oracle_merge_sum(),
+        "mask_raster": _oracle_mask_raster(),
+        "reduce_time_mean": _oracle_reduce_time_mean(),
+        "aggregate_temporal": _oracle_aggregate_temporal(),
+        "retile": _oracle_retile(),
+        "apply_kernel": _oracle_apply_kernel(),
+        "reduce_bands_ndvi": _oracle_reduce_bands_ndvi(),
     }

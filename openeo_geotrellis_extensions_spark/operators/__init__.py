@@ -1,8 +1,38 @@
+from .apply_process import apply_process, apply_time, reduce_bands, reduce_time
+from .filters import (
+    filter_bands,
+    filter_bbox,
+    filter_empty_tiles,
+    filter_negative_keys,
+    filter_temporal,
+)
+from .kernel import apply_kernel
+from .mask import mask, mask_polygon
+from .merge import merge_cubes
+from .resample import resample_spatial, retile
 from .spatial_join import cover_cells_for_features, spatial_join_points
+from .temporal import aggregate_temporal, aggregate_temporal_period
 from .zonal import aggregate_spatial
 
 __all__ = [
+    "apply_process",
+    "apply_time",
+    "reduce_bands",
+    "reduce_time",
+    "filter_bands",
+    "filter_bbox",
+    "filter_empty_tiles",
+    "filter_negative_keys",
+    "filter_temporal",
+    "apply_kernel",
+    "mask",
+    "mask_polygon",
+    "merge_cubes",
+    "resample_spatial",
+    "retile",
     "cover_cells_for_features",
     "spatial_join_points",
+    "aggregate_temporal",
+    "aggregate_temporal_period",
     "aggregate_spatial",
 ]

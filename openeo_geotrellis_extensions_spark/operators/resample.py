@@ -1,0 +1,127 @@
+"""resample_spatial / retile — regrid a cube onto a new layout.
+
+Reference: ``resampleCubeSpatial*`` (OpenEOProcesses.scala:832-880) with the
+no-op short-circuit when grids already align (:833-835); the engine fork of
+TileRDDReproject (reproject/TileRDDReproject.scala:40-419): buffer ->
+per-tile region resample into the target grid -> merge fragments by new key;
+``retile`` (OpenEOProcesses.scala:1001-1047).
+
+Ours: each source tile emits one fragment per overlapped target key
+(mapInPandas), then ``groupBy(target key)`` merges fragments — the classic
+explode + shuffle + merge, expressed as DataFrame ops so AQE sizes the
+shuffle. Nearest-neighbor sampling (same CRS; CRS warping would slot into the
+same fragment step). Negative/out-of-grid keys are filtered like
+filterNegativeSpatialKeys (OpenEOProcesses.scala:804-830).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from ..core.celltype import parse_cell_type
+from ..core.grid import LayoutDefinition
+from ..core.tiles import decode_tile_float, encode_band
+from ..sources.datacube import CubeMeta, DataCube, cube_schema
+
+
+def resample_spatial(cube: DataCube, target: LayoutDefinition) -> DataCube:
+    """Regrid onto ``target`` (no-op when layouts already match)."""
+    src = cube.meta.layout
+    if src == target:
+        return cube  # OpenEOProcesses.scala:833-835 short-circuit
+    if src.crs != target.crs:
+        raise NotImplementedError("CRS warping not supported (same-CRS regrid only)")
+
+    ct = cube.meta.cell_type
+    n_bands = cube.meta.n_bands
+    shape = cube.meta.tile_shape
+    out_ct = parse_cell_type(ct)
+    temporal = cube.meta.temporal
+    frag_schema = cube_schema(temporal)
+
+    def fragments(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        th, tw = target.tile_rows, target.tile_cols
+        for pdf in it:
+            rows = []
+            for rec in pdf.itertuples(index=False):
+                c, r = int(rec.col), int(rec.row)
+                stack = decode_tile_float(list(rec.bands), ct, shape)
+                se = src.extent_for_key(c, r)
+                # target keys overlapped by this source tile
+                for tc, tr in target.keys_for_extent(se):
+                    xs, ys = target.pixel_centers_for_key(tc, tr)
+                    # nearest-neighbor: map target centers to source pixels
+                    px = np.floor((xs - se.xmin) / src.cell_width).astype(np.int64)
+                    py = np.floor((se.ymax - ys) / src.cell_height).astype(np.int64)
+                    okx = (px >= 0) & (px < shape[1])
+                    oky = (py >= 0) & (py < shape[0])
+                    if not okx.any() or not oky.any():
+                        continue
+                    frag = np.full((n_bands, th, tw), np.nan)
+                    ixg, iyg = np.meshgrid(px[okx], py[oky])
+                    for b in range(n_bands):
+                        sub = stack[b][iyg, ixg]
+                        frag[b][np.ix_(oky, okx)] = sub
+                    bands = [
+                        encode_band(out_ct.from_float_nan(frag[b]), out_ct)
+                        for b in range(n_bands)
+                    ]
+                    if temporal:
+                        rows.append((rec.time, tc, tr, bands))
+                    else:
+                        rows.append((tc, tr, bands))
+            cols = (["time"] if temporal else []) + ["col", "row", "bands"]
+            yield pd.DataFrame(rows, columns=cols)
+
+    frags = cube.df.mapInPandas(fragments, schema=frag_schema)
+
+    keys = (["time"] if temporal else []) + ["col", "row"]
+
+    def merge_frags(pdf: pd.DataFrame) -> pd.DataFrame:
+        th, tw = target.tile_rows, target.tile_cols
+        acc = np.full((n_bands, th, tw), np.nan)
+        for bufs in pdf["bands"]:
+            frag = decode_tile_float(list(bufs), ct, (th, tw))
+            acc = np.where(np.isnan(acc), frag, acc)
+        bands = [
+            encode_band(out_ct.from_float_nan(acc[b]), out_ct) for b in range(n_bands)
+        ]
+        first = pdf.iloc[0]
+        row = ([first["time"]] if temporal else []) + [int(first["col"]), int(first["row"]), bands]
+        return pd.DataFrame([row], columns=(["time"] if temporal else []) + ["col", "row", "bands"])
+
+    merged = frags.groupBy(*keys).applyInPandas(merge_frags, schema=frag_schema)
+    merged = merged.where(
+        (F.col("col") >= 0) & (F.col("row") >= 0)
+        & (F.col("col") < target.layout_cols) & (F.col("row") < target.layout_rows)
+    )
+    meta = CubeMeta(target, ct, cube.meta.band_names, temporal)
+    return DataCube(merged, meta)
+
+
+def retile(cube: DataCube, tile_cols: int, tile_rows: int) -> DataCube:
+    """Re-chunk to a new tile size over the same extent/resolution
+    (OpenEOProcesses.retile :1001-1047). Pixel-preserving: the target layout
+    keeps the cell size, so nearest-neighbor sampling is exact."""
+    src = cube.meta.layout
+    total_px_x = src.layout_cols * src.tile_cols
+    total_px_y = src.layout_rows * src.tile_rows
+    target = LayoutDefinition(
+        src.extent,
+        math.ceil(total_px_x / tile_cols),
+        math.ceil(total_px_y / tile_rows),
+        tile_cols,
+        tile_rows,
+        src.crs,
+    )
+    if (
+        target.layout_cols * tile_cols != total_px_x
+        or target.layout_rows * tile_rows != total_px_y
+    ):
+        raise ValueError("retile size must evenly divide the pixel grid")
+    return resample_spatial(cube, target)

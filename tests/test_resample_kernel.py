@@ -1,0 +1,126 @@
+"""resample/retile grid alignment (F7 / OpenEOProcessesSpec.scala:580-600)
+and apply_kernel halo correctness at tile boundaries (SURVEY §7.3)."""
+
+import numpy as np
+import pytest
+
+from openeo_geotrellis_extensions_spark.core.grid import Extent, LayoutDefinition
+from openeo_geotrellis_extensions_spark.core.tiles import decode_tile_float
+from openeo_geotrellis_extensions_spark.operators.kernel import (
+    _convolve2d_same,
+    apply_kernel,
+)
+from openeo_geotrellis_extensions_spark.operators.resample import (
+    resample_spatial,
+    retile,
+)
+from openeo_geotrellis_extensions_spark.sources.datacube import (
+    arithmetic_cube,
+    constant_cube,
+)
+from openeo_geotrellis_extensions_spark.sources.interleaved import DATES
+
+LAYOUT = LayoutDefinition(Extent(0.0, 0.0, 2.0, 2.0), 2, 2, 8, 8)
+
+
+def _world_pixels(cube, date=DATES[0]):
+    """Assemble the full pixel plane for one date from a cube (oracle view)."""
+    ld = cube.meta.layout
+    H = ld.layout_rows * ld.tile_rows
+    W = ld.layout_cols * ld.tile_cols
+    out = np.full((H, W), np.nan)
+    for r in cube.df.collect():
+        if r.time.strftime("%Y-%m-%d") != date:
+            continue
+        stack = decode_tile_float(
+            list(r.bands), cube.meta.cell_type, cube.meta.tile_shape
+        )
+        out[
+            r.row * ld.tile_rows : (r.row + 1) * ld.tile_rows,
+            r.col * ld.tile_cols : (r.col + 1) * ld.tile_cols,
+        ] = stack[0]
+    return out
+
+
+def test_resample_noop_when_aligned(spark):
+    cube = constant_cube(spark, LAYOUT)
+    assert resample_spatial(cube, LAYOUT) is cube  # :833-835 short-circuit
+
+
+def test_retile_preserves_pixels(spark):
+    """Re-chunk 8x8 tiles -> 4x4 tiles: same world pixel plane, 4x the keys,
+    min key (0,0) (F7: no negative keys)."""
+    cube = arithmetic_cube(spark, LAYOUT, n_bands=1)
+    before = _world_pixels(cube)
+    out = retile(cube, 4, 4)
+    assert out.meta.layout.layout_cols == 4
+    keys = [(r.col, r.row) for r in out.df.select("col", "row").distinct().collect()]
+    assert min(keys) == (0, 0) and len(keys) == 16
+    after = _world_pixels(out)
+    np.testing.assert_allclose(before, after, equal_nan=True)
+
+
+def test_resample_2x_upsample(spark):
+    """Half the cell size: each source pixel becomes a 2x2 block."""
+    cube = arithmetic_cube(spark, LAYOUT, n_bands=1)
+    target = LayoutDefinition(LAYOUT.extent, 4, 4, 8, 8)  # 2x resolution
+    out = resample_spatial(cube, target)
+    before = _world_pixels(cube)
+    after = _world_pixels(out)
+    np.testing.assert_allclose(after, np.kron(before, np.ones((2, 2))), equal_nan=True)
+
+
+def test_resample_shifted_extent_no_negative_keys(spark):
+    """Target extent shifted: out-of-grid keys filtered
+    (filterNegativeSpatialKeys, OpenEOProcesses.scala:804-830)."""
+    cube = arithmetic_cube(spark, LAYOUT, n_bands=1)
+    target = LayoutDefinition(Extent(-1.0, -1.0, 3.0, 3.0), 4, 4, 8, 8)
+    out = resample_spatial(cube, target)
+    keys = [(r.col, r.row) for r in out.df.select("col", "row").distinct().collect()]
+    assert all(0 <= c < 4 and 0 <= r < 4 for c, r in keys)
+
+
+def test_convolve2d_matches_manual():
+    rng = np.random.default_rng(3)
+    a = rng.random((8, 8))
+    k = np.array([[0.0, 1.0, 0.0], [1.0, 2.0, 1.0], [0.0, 1.0, 0.0]])
+    got = _convolve2d_same(a, k)
+    # manual correlation with symmetric kernel at an interior pixel
+    exp = (
+        2 * a[3, 3] + a[2, 3] + a[4, 3] + a[3, 2] + a[3, 4]
+    )
+    assert got[3, 3] == pytest.approx(exp)
+
+
+def test_convolve_fft_matches_direct():
+    rng = np.random.default_rng(4)
+    a = rng.random((24, 24))
+    k_small = rng.random((3, 3))
+    k_big = np.zeros((11, 11))
+    k_big[4:7, 4:7] = k_small  # big (FFT path) kernel embedding the small one
+    direct = _convolve2d_same(a, k_small)
+    fft = _convolve2d_same(a, k_big)
+    np.testing.assert_allclose(direct[4:-4, 4:-4], fft[4:-4, 4:-4], atol=1e-9)
+
+
+def test_apply_kernel_cross_tile_halo(spark):
+    """Mean 3x3 kernel across the whole plane == per-tile conv with halos:
+    values at tile boundaries must match the global convolution."""
+    cube = arithmetic_cube(
+        spark, LAYOUT, dates=DATES[:1], n_bands=1,
+        value_fn=lambda d, b, c, r, py, px: ((px * 3 + py * 5 + c * 13 + r * 7) % 17).astype(np.float64),
+    )  # no nodata for a clean oracle
+    k = np.full((3, 3), 1.0 / 9)
+    out = apply_kernel(cube, k)
+    got = _world_pixels(out)
+    plane = _world_pixels(cube)
+    exp = _convolve2d_same(plane, k)
+    np.testing.assert_allclose(got, exp, rtol=1e-5)
+
+
+def test_apply_kernel_nodata_center_preserved(spark):
+    cube = arithmetic_cube(spark, LAYOUT, dates=DATES[:1], n_bands=1)
+    out = apply_kernel(cube, np.full((3, 3), 1.0 / 9))
+    src = _world_pixels(cube)
+    res = _world_pixels(out)
+    np.testing.assert_array_equal(np.isnan(src), np.isnan(res))
