@@ -609,6 +609,373 @@ def _oracle_reduce_bands_ndvi() -> str:
     return f"WITH {_digest_base_cte()} {tail}"
 
 
+# ---------------------------------------------------------------------------
+# Training-data pipeline queries (dedup / similarity / text / multimodal /
+# geo-kNN) over the driver's documents/embeddings/events tables
+# ---------------------------------------------------------------------------
+
+from openeo_geotrellis_extensions_spark.operators.knn import knn_join  # noqa: E402
+from openeo_geotrellis_extensions_spark.pipeline.dedup import (  # noqa: E402
+    dedup_exact,
+    embedding_near_dups,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_signatures,
+)
+from openeo_geotrellis_extensions_spark.pipeline.multimodal import (  # noqa: E402
+    fetch_media,
+    media_features,
+)
+from openeo_geotrellis_extensions_spark.pipeline.similarity import (  # noqa: E402
+    cosine_topk_bruteforce,
+    lsh_topk,
+)
+from openeo_geotrellis_extensions_spark.pipeline.text import (  # noqa: E402
+    LANG_MARKERS,
+    EN_STOPWORDS,
+    TOKEN_RE,
+    lang_id,
+    quality_scores,
+    text_fingerprint,
+    token_counts,
+)
+
+_DOCS = "{sf}/documents.parquet"
+
+#: DuckDB CTE: normalized words per document (shared by several oracles)
+_WORDS_CTE = r"""
+    norm AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+             FROM documents),
+    w AS (SELECT doc_id, string_split(t, ' ') AS words FROM norm)
+"""
+_GRAMS_CTE = _WORDS_CTE + """,
+    pos AS (SELECT doc_id, words, unnest(range(1, greatest(len(words) - 1, 1))) AS i
+            FROM w),
+    grams AS (SELECT DISTINCT doc_id, array_to_string(words[i:i+2], ' ') AS g
+              FROM pos)
+"""
+
+
+def _q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(_DOCS.format(sf=sf_dir))
+    out = text_fingerprint(lang_id(quality_scores(token_counts(docs))))
+    return out.select(
+        "doc_id", "ws_tokens", "re_tokens", "n_chars", "n_words",
+        "mean_word_len", "digit_ratio", "punct_ratio", "stopword_ratio",
+        "pred_lang", "fingerprint",
+    )
+
+
+def _oracle_text_quality() -> str:
+    sw = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+    score_exprs = []
+    for lang, markers in sorted(LANG_MARKERS.items()):
+        lst = ", ".join(f"'{m}'" for m in markers)
+        score_exprs.append(
+            f"len(list_filter(words, x -> x IN ({lst}))) AS score_{lang}"
+        )
+    langs = sorted(LANG_MARKERS)
+    greatest = "greatest(" + ", ".join(f"score_{l}" for l in langs) + ")"
+    pred = "CASE " + " ".join(
+        f"WHEN score_{l} = {greatest} THEN '{l}'" for l in langs
+    ) + " END"
+    return rf"""
+        WITH {_WORDS_CTE},
+        scored AS (
+            SELECT d.doc_id, d.text, n.t, w.words, {', '.join(score_exprs)}
+            FROM documents d JOIN norm n USING (doc_id) JOIN w USING (doc_id)
+        )
+        SELECT doc_id,
+               CAST(len(string_split(trim(text), ' ')) AS INT) AS ws_tokens,
+               CAST(len(regexp_extract_all(text, '{TOKEN_RE}')) AS INT) AS re_tokens,
+               CAST(length(text) AS INT) AS n_chars,
+               CAST(len(string_split(trim(text), ' ')) AS INT) AS n_words,
+               ROUND(length(regexp_replace(text, '\s+', '', 'g'))
+                     * 1.0 / len(string_split(trim(text), ' ')), 6) AS mean_word_len,
+               ROUND(length(regexp_replace(text, '[^0-9]', '', 'g'))
+                     * 1.0 / length(text), 6) AS digit_ratio,
+               ROUND(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+                     * 1.0 / length(text), 6) AS punct_ratio,
+               ROUND(len(list_filter(string_split(trim(text), ' '),
+                                     x -> x IN ({sw})))
+                     * 1.0 / len(string_split(trim(text), ' ')), 6) AS stopword_ratio,
+               {pred} AS pred_lang,
+               md5(t) AS fingerprint
+        FROM scored
+    """
+
+
+def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return dedup_exact(ev, text_col="props", id_col="event_id").select(
+        F.col("id").cast("long").alias("id"),
+        F.col("canonical_id").cast("long").alias("canonical_id"),
+        F.col("group_size").cast("long").alias("group_size"),
+    )
+
+
+_ORACLE_DEDUP_EXACT = r"""
+    WITH keyed AS (
+        SELECT event_id AS id,
+               md5(regexp_replace(lower(trim(props)), '\s+', ' ', 'g')) AS h
+        FROM events
+    ),
+    grp AS (SELECT h, MIN(id) AS canonical_id, CAST(COUNT(*) AS BIGINT) AS group_size
+            FROM keyed GROUP BY h)
+    SELECT k.id, g.canonical_id, g.group_size FROM keyed k JOIN grp g USING (h)
+"""
+
+
+def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(_DOCS.format(sf=sf_dir))
+    return ngram_jaccard_pairs(docs, threshold=0.05).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        "jaccard",
+    )
+
+
+_ORACLE_NGRAM_JACCARD = f"""
+    WITH {_GRAMS_CTE},
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY 1),
+    inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+              FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+    j AS (SELECT id_a, id_b, ROUND(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
+          FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b)
+    SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.05
+"""
+
+
+def _q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(_DOCS.format(sf=sf_dir))
+    return minhash_lsh_pairs(
+        docs, num_hashes=16, bands=4, verify_threshold=0.05
+    ).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        "jaccard",
+    )
+
+
+def _oracle_minhash_lsh() -> str:
+    mins = ", ".join(
+        f"MIN(md5(concat('{i}|', g))) AS m{i}" for i in range(16)
+    )
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, md5(concat_ws('|', m{b * 4}, m{b * 4 + 1}, "
+        f"m{b * 4 + 2}, m{b * 4 + 3})) AS bucket FROM sig"
+        for b in range(4)
+    )
+    return f"""
+        WITH {_GRAMS_CTE},
+        sig AS (SELECT doc_id, {mins} FROM grams GROUP BY doc_id),
+        buckets AS ({bands}),
+        cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                 FROM buckets a JOIN buckets b
+                   ON a.band = b.band AND a.bucket = b.bucket
+                      AND a.doc_id < b.doc_id),
+        sz AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY 1),
+        inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+                  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2),
+        j AS (SELECT id_a, id_b, ROUND(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
+              FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b)
+        SELECT c.id_a, c.id_b, j.jaccard
+        FROM cand c JOIN j ON j.id_a = c.id_a AND j.id_b = c.id_b
+        WHERE j.jaccard >= 0.05
+    """
+
+
+def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(_DOCS.format(sf=sf_dir))
+    return simhash_signatures(docs, bits=16).select(
+        F.col("id").cast("long").alias("id"), "simhash"
+    )
+
+
+def _oracle_simhash() -> str:
+    sums = ", ".join(
+        f"SUM(CASE WHEN strpos('89abcdef', substring(md5(word), {p + 1}, 1)) > 0 "
+        f"THEN 1 ELSE -1 END) AS b{p}"
+        for p in range(16)
+    )
+    bits = " + ".join(
+        f"(CASE WHEN b{p} > 0 THEN 1 ELSE 0 END) * {2 ** p}" for p in range(16)
+    )
+    return f"""
+        WITH {_WORDS_CTE},
+        exploded AS (SELECT doc_id, unnest(words) AS word FROM w),
+        agg AS (SELECT doc_id AS id, {sums} FROM exploded GROUP BY doc_id)
+        SELECT id, CAST({bits} AS BIGINT) AS simhash FROM agg
+    """
+
+
+def _q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_near_dups(emb, threshold=0.4).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        "cosine",
+    )
+
+
+_ORACLE_EMB_DUPS = """
+    WITH p AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               ROUND(
+                   list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+                   / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+                      * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6
+               ) AS cosine
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.4
+"""
+
+
+def _q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 20)
+    return cosine_topk_bruteforce(emb, queries=q, k=3).select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("neighbor_id").cast("long").alias("neighbor_id"),
+        "cosine",
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+_ORACLE_KNN_COSINE = """
+    WITH pairs AS (
+        SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+               ROUND(
+                   list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+                   / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))
+                      * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6
+               ) AS cosine
+        FROM embeddings q JOIN embeddings b ON q.vec_id != b.vec_id
+        WHERE q.vec_id < 20
+    ),
+    ranked AS (
+        SELECT *, CAST(ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+        ) AS INT) AS rank
+        FROM pairs
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 3
+"""
+
+
+def _q_geo_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cell-ring kNN (north_star): 3 nearest doc geometries per query point."""
+    docs = synth_docs(spark, _n_docs(spark, sf_dir))
+    pts = (
+        extract_geometries(docs)
+        .groupBy("doc_id")
+        .agg(
+            ((F.min("xmin") + F.max("xmax")) / 2).alias("x"),
+            ((F.min("ymin") + F.max("ymax")) / 2).alias("y"),
+        )
+    )
+    qs = spark.range(20).select(
+        F.format_string("q%02d", F.col("id")).alias("query_id"),
+        (F.col("id") * 37.0 % 300.0 - 150.0 + 0.5).alias("qx"),
+        (F.col("id") * 23.0 % 160.0 - 80.0 + 0.5).alias("qy"),
+    )
+    return knn_join(pts, qs, k=3, res=5).select(
+        "query_id",
+        "neighbor_id",
+        "dist",
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+def _oracle_geo_knn() -> str:
+    a = doc_attr_sql("doc_id")
+    return f"""
+        WITH pts AS (
+            SELECT printf('doc_%08d', doc_id) AS neighbor_id,
+                   {a['lon']} AS x, {a['lat']} AS y
+            FROM documents
+        ),
+        qs AS (
+            SELECT printf('q%02d', i) AS query_id,
+                   (i * 37.0) % 300.0 - 150.0 + 0.5 AS qx,
+                   (i * 23.0) % 160.0 - 80.0 + 0.5 AS qy
+            FROM generate_series(0, 19) t(i)
+        ),
+        pairs AS (
+            SELECT q.query_id, p.neighbor_id,
+                   ROUND(sqrt((p.x - q.qx) * (p.x - q.qx)
+                              + (p.y - q.qy) * (p.y - q.qy)), 9) AS dist
+            FROM qs q, pts p
+        ),
+        ranked AS (
+            SELECT *, CAST(ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY dist ASC, neighbor_id ASC
+            ) AS INT) AS rank FROM pairs
+        )
+        SELECT query_id, neighbor_id, dist, rank FROM ranked WHERE rank <= 3
+    """
+
+
+def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: media spans -> binary content -> vectorized pixel
+    features (nodata 255 excluded)."""
+    docs = synth_docs(spark, _n_docs(spark, sf_dir))
+    return media_features(fetch_media(docs)).select(
+        "doc_id",
+        F.col("span_idx").cast("int").alias("span_idx"),
+        F.col("n_valid").cast("long").alias("n_valid"),
+        "mean_px",
+        "min_px",
+        "max_px",
+    )
+
+
+def _oracle_media_features() -> str:
+    a = doc_attr_sql("id")
+    return f"""
+        WITH ids AS (SELECT doc_id AS id FROM documents),
+        media AS (
+            SELECT id, CAST(j AS INT) AS span_idx,
+                   {a['tile_col']} AS c, {a['tile_row']} AS r,
+                   CAST((id + j) % 4 AS INT) AS d, CAST(j % 2 AS INT) AS band
+            FROM ids, generate_series(0, 4) t(j)
+            WHERE j < 2 + (id % 4) AND (id + j) % 3 >= 2
+        ),
+        px AS (SELECT CAST(px AS INT) AS px FROM generate_series(0, 15) t(px)),
+        py AS (SELECT CAST(py AS INT) AS py FROM generate_series(0, 15) t(py)),
+        pixels AS (
+            SELECT m.id, m.span_idx,
+                   CASE WHEN (m.c + m.r + px.px + py.py) % 23 = 0 THEN NULL
+                        ELSE CAST((m.c * 31 + m.r * 17 + m.d * 11 + m.band * 7
+                                   + py.py * 5 + px.px * 3) % 100 AS DOUBLE)
+                   END AS v
+            FROM media m, px, py
+        )
+        SELECT printf('doc_%08d', id) AS doc_id, span_idx,
+               CAST(COUNT(v) AS BIGINT) AS n_valid,
+               ROUND(AVG(v), 6) AS mean_px,
+               MIN(v) AS min_px,
+               MAX(v) AS max_px
+        FROM pixels
+        GROUP BY id, span_idx
+    """
+
+
+def _q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via random-hyperplane LSH buckets + exact rerank (rows-only driver
+    check; recall vs brute force asserted in pytest)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return lsh_topk(emb, k=3, bits=4, tables=8, dim=64).select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("neighbor_id").cast("long").alias("neighbor_id"),
+        "cosine",
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_cells": _q_doc_cells,
@@ -624,6 +991,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retile": _q_retile,
         "apply_kernel": _q_apply_kernel,
         "reduce_bands_ndvi": _q_reduce_bands_ndvi,
+        "text_quality": _q_text_quality,
+        "dedup_exact": _q_dedup_exact,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "minhash_lsh": _q_minhash_lsh,
+        "simhash": _q_simhash,
+        "embedding_near_dups": _q_embedding_near_dups,
+        "knn_cosine": _q_knn_cosine,
+        "geo_knn": _q_geo_knn,
+        "media_features": _q_media_features,
+        "lsh_ann": _q_lsh_ann,
     }
 
 
@@ -642,4 +1019,14 @@ def oracle_sql() -> dict[str, str]:
         "retile": _oracle_retile(),
         "apply_kernel": _oracle_apply_kernel(),
         "reduce_bands_ndvi": _oracle_reduce_bands_ndvi(),
+        "text_quality": _oracle_text_quality(),
+        "dedup_exact": _ORACLE_DEDUP_EXACT,
+        "ngram_jaccard": _ORACLE_NGRAM_JACCARD,
+        "minhash_lsh": _oracle_minhash_lsh(),
+        "simhash": _oracle_simhash(),
+        "embedding_near_dups": _ORACLE_EMB_DUPS,
+        "knn_cosine": _ORACLE_KNN_COSINE,
+        "geo_knn": _oracle_geo_knn(),
+        "media_features": _oracle_media_features(),
+        # lsh_ann: intentionally no oracle (approximate; rows-only check)
     }

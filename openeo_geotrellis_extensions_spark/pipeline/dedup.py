@@ -1,0 +1,198 @@
+"""Deduplication for training-data pipelines: exact, n-gram Jaccard,
+MinHash+LSH, SimHash, embedding-cosine near-dup.
+
+Design notes for 100 TB scale:
+  - exact dedup is one hash-shuffle on a 32-byte key (md5 of normalized text);
+  - MinHash signatures are computed with a groupBy over exploded shingles
+    (map-side combinable MIN aggregates), LSH banding turns the O(n^2)
+    candidate problem into an equi-join on band keys;
+  - every hash is md5-based and engine-portable, so DuckDB oracles can
+    recompute signatures exactly (no Spark-specific hash functions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_NORM = "regexp_replace(lower(trim({col})), '\\\\s+', ' ')"
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup by normalized-text hash: (id, canonical_id, group_size).
+    canonical = min id per group. One shuffle on the 128-bit key."""
+    h = F.expr(f"md5({_NORM.format(col=text_col)})")
+    keyed = df.select(F.col(id_col).alias("id"), h.alias("h"))
+    grp = keyed.groupBy("h").agg(
+        F.min("id").alias("canonical_id"), F.count("*").alias("group_size")
+    )
+    return keyed.join(grp, "h").select("id", "canonical_id", "group_size")
+
+
+def word_ngrams(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
+    """Distinct word n-grams per document: (id, ngram)."""
+    norm = _NORM.format(col=text_col)
+    # guard: Spark sequence(0, -1) is DESCENDING, so short docs need an
+    # explicit empty-array branch
+    grams = F.expr(
+        f"CASE WHEN size(split({norm}, ' ')) < {n} THEN array() "
+        f"ELSE transform(sequence(0, size(split({norm}, ' ')) - {n}), "
+        f"i -> array_join(slice(split({norm}, ' '), i + 1, {n}), ' ')) END"
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(grams).alias("ngram"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity join: pairs (id_a < id_b, jaccard >=
+    threshold). Inverted-index self-join on shared n-grams (only co-occurring
+    pairs are scored — the standard set-similarity join)."""
+    grams = word_ngrams(df, text_col, id_col, n)
+    sizes = grams.groupBy("id").agg(F.count("*").alias("sz"))
+    a = grams.alias("a")
+    b = grams.alias("b")
+    inter = (
+        a.join(b, (F.col("a.ngram") == F.col("b.ngram")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 16,
+) -> DataFrame:
+    """MinHash over word n-gram shingles. Hash family i = md5(i || '|' ||
+    shingle); the signature element is the lexicographic MIN of the hex
+    digest (a valid min-wise hash, portable to any engine with md5).
+    -> (id, sig: array<string>[num_hashes])."""
+    grams = word_ngrams(df, text_col, id_col, n)
+    mins = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("ngram")))).alias(f"m{i}")
+        for i in range(num_hashes)
+    ]
+    sig = grams.groupBy("id").agg(*mins)
+    return sig.select("id", F.array(*[f"m{i}" for i in range(num_hashes)]).alias("sig"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    verify_threshold: float | None = None,
+) -> DataFrame:
+    """MinHash + LSH banding: signature split into ``bands`` bands of
+    ``num_hashes / bands`` rows; docs sharing any band bucket become candidate
+    pairs (equi-join on the band key — never O(n^2)). With
+    ``verify_threshold`` candidates are re-scored with exact Jaccard."""
+    rows = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, n, num_hashes)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws("|", *[F.col("sig")[b * rows + r] for r in range(rows)])
+                ).alias("bucket"),
+            )
+            for b in range(bands)
+        ]
+    )
+    buckets = sig.select("id", F.explode(band_structs).alias("bb")).select(
+        "id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    if verify_threshold is None:
+        return cand
+    exact = ngram_jaccard_pairs(df, text_col, id_col, n, threshold=0.0)
+    return cand.join(exact, ["id_a", "id_b"], "inner").where(
+        F.col("jaccard") >= verify_threshold
+    )
+
+
+def simhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16
+) -> DataFrame:
+    """SimHash over words using md5 hex digits as the bit source: bit p of a
+    word's hash = 1 iff hex digit p of md5(word) is in '89abcdef' (i.e. its
+    high bit). Signature bit p = sign of sum over words of (+1/-1).
+    Engine-portable (md5 + substring only). -> (id, simhash: int)."""
+    assert bits <= 32
+    words = F.explode(
+        F.split(F.expr(_NORM.format(col=text_col)), " ")
+    ).alias("w")
+    exploded = df.select(F.col(id_col).alias("id"), words)
+    contribs = [
+        F.sum(
+            F.when(
+                F.expr(f"instr('89abcdef', substring(md5(w), {p + 1}, 1))") > 0, 1
+            ).otherwise(-1)
+        ).alias(f"b{p}")
+        for p in range(bits)
+    ]
+    agg = exploded.groupBy("id").agg(*contribs)
+    sim = None
+    for p in range(bits):
+        bit = F.when(F.col(f"b{p}") > 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(2**p)
+        sim = bit if sim is None else (sim + bit)
+    return agg.select("id", sim.cast("long").alias("simhash"))
+
+
+def embedding_near_dups(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding cosine near-duplicates (brute-force pairwise; the LSH-bucketed
+    scale path is similarity.lsh_topk). -> (id_a < id_b, cosine)."""
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    dot = F.expr("aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
+    na = F.sqrt(F.expr("aggregate(va, 0D, (acc, v) -> acc + CAST(v AS DOUBLE) * v)"))
+    nb = F.sqrt(F.expr("aggregate(vb, 0D, (acc, v) -> acc + CAST(v AS DOUBLE) * v)"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(dot / (na * nb), 6))
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

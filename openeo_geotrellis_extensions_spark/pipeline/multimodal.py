@@ -1,0 +1,130 @@
+"""Multimodal columns: media refs as opaque binary + typed metadata.
+
+Real image/audio codecs are not available in this container, so decode for
+external formats is STUBBED behind NotImplementedError, while the Spark-side
+plumbing — schema, Arrow batch shape, partitioning — is real and tested via
+the deterministic ``tile://`` scheme (the interleaved table's media refs).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..sources.interleaved import (
+    DATES,
+    explode_spans,
+    media_tile_values,
+    parse_tile_ref,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType()),
+        StructField("span_idx", IntegerType()),
+        StructField("media_ref", StringType()),
+        StructField("content", BinaryType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("dtype", StringType()),
+        StructField("n_bytes", LongType()),
+    ]
+)
+
+
+def fetch_media(docs: DataFrame, tile_size: int = 16) -> DataFrame:
+    """media spans -> opaque binary content + typed metadata. ``tile://`` refs
+    resolve to deterministic synthetic pixels; any other scheme raises (no
+    codecs in this environment — the decode seam for rasterio/PIL/ffmpeg)."""
+    spans = explode_spans(docs).where(F.col("kind") == "media").select(
+        "doc_id", "span_idx", "media_ref"
+    )
+
+    def fetch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, si, ref in zip(pdf["doc_id"], pdf["span_idx"], pdf["media_ref"]):
+                if not ref.startswith("tile://"):
+                    raise NotImplementedError(
+                        f"no codec for {ref!r} (only tile:// is resolvable here)"
+                    )
+                z, c, r, date, band = parse_tile_ref(ref)
+                arr = media_tile_values(c, r, DATES.index(date), band, tile_size)
+                buf = arr.tobytes()
+                rows.append(
+                    (doc_id, int(si), ref, buf, arr.shape[1], arr.shape[0],
+                     str(arr.dtype), len(buf))
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_SCHEMA.fields])
+
+    return spans.mapInPandas(fetch, schema=MEDIA_SCHEMA)
+
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType()),
+        StructField("span_idx", IntegerType()),
+        StructField("n_valid", LongType()),
+        StructField("mean_px", DoubleType()),
+        StructField("min_px", DoubleType()),
+        StructField("max_px", DoubleType()),
+    ]
+)
+
+
+def media_features(media: DataFrame, nodata: int = 255) -> DataFrame:
+    """Vectorized feature extraction over binary media content (pixel stats;
+    the seam where an embedding model would run). Arrow-batched: decodes the
+    whole batch into one (N, H*W) matrix, no per-row Python."""
+
+    def feats(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack(
+                [np.frombuffer(b, dtype=np.uint8) for b in pdf["content"]]
+            ).astype(np.float64)
+            mat[mat == nodata] = np.nan
+            import warnings
+
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore")
+                out = pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"].values,
+                        "span_idx": pdf["span_idx"].values,
+                        "n_valid": (~np.isnan(mat)).sum(axis=1),
+                        "mean_px": np.round(np.nanmean(mat, axis=1), 6),
+                        "min_px": np.nanmin(mat, axis=1),
+                        "max_px": np.nanmax(mat, axis=1),
+                    }
+                )
+            yield out
+
+    return media.mapInPandas(feats, schema=FEATURE_SCHEMA)
+
+
+def decode_image(content: bytes, fmt: str) -> np.ndarray:
+    """Seam for real image decoding — PIL/rasterio are not installed here."""
+    raise NotImplementedError(
+        f"image codec {fmt!r} unavailable in this environment; "
+        "tile:// media resolve via fetch_media instead"
+    )
+
+
+def sample_frames(content: bytes, every_n: int = 10) -> list[bytes]:
+    """Seam for video frame sampling — ffmpeg unavailable here."""
+    raise NotImplementedError("video codecs unavailable in this environment")

@@ -1,0 +1,110 @@
+"""Approximate-nearest-neighbor similarity search over embedding columns.
+
+Baseline: brute-force cosine top-k (exact; O(n*q) — fine for rerank stages
+and small query sets). Scale path: random-hyperplane LSH bucketing — the
+candidate join is an equi-join on bucket signature, so at 10^12 rows it
+shuffles only per-bucket groups; recall is tuned by bits/tables.
+
+Hyperplanes are deterministic pseudo-random integers from (table, bit, dim)
+arithmetic — no RNG state, reproducible in SQL oracles and across runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_DOT = "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * y), 0D, (acc, v) -> acc + v)"
+_NORM = "sqrt(aggregate({a}, 0D, (acc, v) -> acc + CAST(v AS DOUBLE) * v))"
+
+
+def cosine_topk_bruteforce(
+    emb: DataFrame,
+    queries: DataFrame | None = None,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine for each query (default: self-join, excluding
+    self-matches). -> (query_id, neighbor_id, cosine, rank)."""
+    base = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vb"))
+    q = (queries or emb).select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("va"))
+    cos = F.expr(_DOT.format(a="va", b="vb")) / (
+        F.expr(_NORM.format(a="va")) * F.expr(_NORM.format(a="vb"))
+    )
+    pairs = (
+        q.join(base, F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", F.round(cos, 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def _hyperplane_sig(vec_col: str, bits: int, dim: int, table: int) -> F.Column:
+    """Signature = concat of sign bits of <v, r_b> where r_b[d] =
+    ((table*31 + b*131 + d*137) % 17) - 8 (deterministic pseudo-random)."""
+    bit_cols = []
+    for b in range(bits):
+        coef = f"transform(sequence(0, {dim - 1}), d -> CAST(({table} * 31 + {b} * 131 + d * 137) % 17 - 8 AS DOUBLE))"
+        dot = f"aggregate(zip_with({vec_col}, {coef}, (x, c) -> CAST(x AS DOUBLE) * c), 0D, (acc, v) -> acc + v)"
+        bit_cols.append(F.when(F.expr(dot) >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bit_cols)
+
+
+def lsh_topk(
+    emb: DataFrame,
+    k: int = 5,
+    bits: int = 8,
+    tables: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k: random-hyperplane LSH across ``tables`` hash tables;
+    candidates = pairs sharing any (table, signature) bucket; exact cosine
+    rerank within candidates. Recall grows with tables, bucket size shrinks
+    with bits. -> (query_id, neighbor_id, cosine, rank)."""
+    sigs = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.explode(
+            F.array(
+                *[
+                    F.concat(F.lit(f"{t}:"), _hyperplane_sig(vec_col, bits, dim, t))
+                    for t in range(tables)
+                ]
+            )
+        ).alias("bucket"),
+    )
+    a = sigs.alias("a")
+    b = sigs.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") != F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("query_id"),
+            F.col("a.v").alias("va"),
+            F.col("b.id").alias("neighbor_id"),
+            F.col("b.v").alias("vb"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    cos = F.expr(_DOT.format(a="va", b="vb")) / (
+        F.expr(_NORM.format(a="va")) * F.expr(_NORM.format(a="vb"))
+    )
+    scored = cand.withColumn("cosine", F.round(cos, 6))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

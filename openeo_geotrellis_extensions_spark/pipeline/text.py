@@ -1,0 +1,110 @@
+"""Text analysis for training-data pipelines: token counting, quality
+scoring, language-ID heuristic, document fingerprinting.
+
+All pure Spark SQL Column expressions (whole-stage codegen, no Python in the
+hot path) — at 100 TB these run entirely JVM-side with predicate pushdown.
+Each has a DuckDB-portable formulation used by the driver oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: tiny per-language stopword marker lists (shared with oracle SQL)
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "a"],
+    "de": ["der", "und", "die", "das", "ist"],
+    "fr": ["le", "et", "la", "les", "des"],
+    "es": ["el", "de", "la", "los", "y"],
+    "zh": ["de5", "shi4", "le5", "zai4", "he2"],
+}
+
+EN_STOPWORDS = ["the", "a", "an", "and", "or", "of", "to", "in", "is", "it"]
+
+#: BPE-ish token regex: letter runs, digit runs, single other non-space chars
+TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+
+def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace token count + BPE-ish regex token count."""
+    t = F.col(text_col)
+    # F.lit pattern avoids SQL string-literal backslash mangling of \s
+    return df.withColumn(
+        "ws_tokens", F.size(F.split(F.trim(t), "\\s+"))
+    ).withColumn(
+        "re_tokens", F.size(F.regexp_extract_all(t, F.lit(TOKEN_RE), F.lit(0)))
+    )
+
+
+def quality_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword / digit heuristics (the standard
+    pre-training quality filters)."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    words = F.split(F.trim(t), "\\s+")
+    n_words = F.size(words)
+    sw = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+    return (
+        df.withColumn("n_chars", n_chars)
+        .withColumn("n_words", n_words)
+        .withColumn(
+            "mean_word_len",
+            F.round((F.length(F.regexp_replace(t, "\\s+", "")) / n_words), 6),
+        )
+        .withColumn(
+            "digit_ratio",
+            F.round(
+                F.length(F.regexp_replace(t, "[^0-9]", "")) / n_chars, 6
+            ),
+        )
+        .withColumn(
+            "punct_ratio",
+            F.round(
+                F.length(F.regexp_replace(t, "[^.,;:!?]", "")) / n_chars, 6
+            ),
+        )
+        .withColumn(
+            "stopword_ratio",
+            F.round(
+                F.expr(
+                    f"size(filter(split(trim({text_col}), '\\\\s+'), w -> w IN ({sw})))"
+                )
+                / n_words,
+                6,
+            ),
+        )
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """n-gram/stopword-marker language ID: score = marker-word hits per
+    language, predicted = argmax (ties -> lexicographically first language,
+    deterministic). Pure Column expressions."""
+    words = f"split(trim({text_col}), '\\\\s+')"
+    scores = []
+    for lang, markers in sorted(LANG_MARKERS.items()):
+        lst = ", ".join(f"'{m}'" for m in markers)
+        scores.append(
+            F.expr(f"size(filter({words}, w -> w IN ({lst})))").alias(f"score_{lang}")
+        )
+    out = df.select("*", *scores)
+    # argmax with deterministic tie-break on language name
+    struct_arr = F.array(
+        *[
+            F.struct(
+                F.col(f"score_{lang}").alias("s"),
+                F.lit(-i).alias("tie"),
+                F.lit(lang).alias("lang"),
+            )
+            for i, lang in enumerate(sorted(LANG_MARKERS))
+        ]
+    )
+    return out.withColumn("pred_lang", F.array_max(struct_arr)["lang"])
+
+
+def text_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Normalized content fingerprint: lower -> collapse whitespace -> md5.
+    (The exact-dedup key; a rolling-hash analog lives in dedup.simhash.)"""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), "\\s+", " ")
+    return df.withColumn("fingerprint", F.md5(norm))
