@@ -1,0 +1,243 @@
+"""GeoTIFF sink — dependency-free single-strip GeoTIFF writer/reader.
+
+No rasterio/GDAL exists in this environment, so the TIFF container is
+written directly (little-endian classic TIFF, one strip, chunky interleave,
+GeoTIFF georeferencing tags: ModelPixelScale + ModelTiepoint + a minimal
+GeoKeyDirectory for EPSG geographic CRS, GDAL_NODATA ascii tag).
+
+Reference writers mirrored:
+  - saveRDDGeneric single-file GeoTIFF (geotiff/package.scala:347-422):
+    :func:`save_stitched_geotiff` collects one date's tiles to the driver and
+    stitches — the reference does the same shuffle-to-driver (:424-492).
+  - per tile-grid-cell tiffs (saveRDDGenericTileGrid :494-569, TileGrid.scala):
+    :func:`save_geotiff_tiles` groups tiles into GxG super-cells with
+    ``applyInPandas`` and each executor writes its own file — fully
+    distributed, one file per (date, grid cell).
+
+The bundled :func:`read_geotiff` parses back what we write (round-trip
+tested); it is NOT a general TIFF reader.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from ..core.celltype import parse_cell_type
+from ..core.grid import Extent
+from ..core.tiles import decode_tile_float
+from ..sources.datacube import DataCube
+
+_SAMPLE_FORMAT = {"u": 1, "i": 2, "f": 3}
+
+_TYPE_SHORT, _TYPE_LONG, _TYPE_RATIONAL, _TYPE_ASCII, _TYPE_DOUBLE = 3, 4, 5, 2, 12
+
+
+def write_geotiff(
+    path: str,
+    bands: np.ndarray,
+    extent: Extent,
+    nodata: float | None = None,
+    epsg: int = 4326,
+) -> None:
+    """bands: (n_bands, h, w) ndarray (single dtype). Single-strip,
+    uncompressed, chunky (pixel-interleaved)."""
+    if bands.ndim == 2:
+        bands = bands[None]
+    nb, h, w = bands.shape
+    dt = bands.dtype
+    bits = dt.itemsize * 8
+    fmt = _SAMPLE_FORMAT[dt.kind]
+    # chunky interleave: (h, w, nb)
+    pixel_data = np.ascontiguousarray(np.transpose(bands, (1, 2, 0))).tobytes()
+
+    sx = extent.width / w
+    sy = extent.height / h
+    pixel_scale = struct.pack("<3d", sx, sy, 0.0)
+    tiepoint = struct.pack("<6d", 0.0, 0.0, 0.0, extent.xmin, extent.ymax, 0.0)
+    # GeoKeys: directory version, rev, minor, count; then keys
+    geokeys = struct.pack(
+        "<16H",
+        1, 1, 0, 3,
+        1024, 0, 1, 2,      # GTModelTypeGeoKey = geographic
+        1025, 0, 1, 1,      # GTRasterTypeGeoKey = PixelIsArea
+        2048, 0, 1, epsg,   # GeographicTypeGeoKey
+    )
+    nodata_ascii = (
+        (f"{int(nodata)}" if nodata is not None and float(nodata).is_integer()
+         else f"{nodata}") + "\x00"
+    ).encode() if nodata is not None and not (isinstance(nodata, float) and np.isnan(nodata)) else (b"nan\x00" if nodata is not None else None)
+
+    entries: list[tuple[int, int, int, bytes | int]] = [
+        (256, _TYPE_LONG, 1, w),
+        (257, _TYPE_LONG, 1, h),
+        (258, _TYPE_SHORT, nb, struct.pack(f"<{nb}H", *([bits] * nb))),
+        (259, _TYPE_SHORT, 1, 1),       # no compression
+        (262, _TYPE_SHORT, 1, 1),       # BlackIsZero
+        (273, _TYPE_LONG, 1, None),     # StripOffsets (patched)
+        (277, _TYPE_SHORT, 1, nb),
+        (278, _TYPE_LONG, 1, h),
+        (279, _TYPE_LONG, 1, len(pixel_data)),
+        (284, _TYPE_SHORT, 1, 1),       # chunky
+        (339, _TYPE_SHORT, nb, struct.pack(f"<{nb}H", *([fmt] * nb))),
+        (33550, _TYPE_DOUBLE, 3, pixel_scale),
+        (33922, _TYPE_DOUBLE, 6, tiepoint),
+        (34735, _TYPE_SHORT, len(geokeys) // 2, geokeys),
+    ]
+    if nodata_ascii:
+        entries.append((42113, _TYPE_ASCII, len(nodata_ascii), nodata_ascii))
+    entries.sort(key=lambda e: e[0])
+
+    header = struct.pack("<2sHI", b"II", 42, 8)
+    n = len(entries)
+    ifd_size = 2 + n * 12 + 4
+    extra_off = 8 + ifd_size
+    extra = b""
+    ifd = struct.pack("<H", n)
+    # first pass to place out-of-line values
+    placed = []
+    for tag, typ, cnt, val in entries:
+        if isinstance(val, bytes) and len(val) > 4:
+            placed.append((tag, typ, cnt, extra_off + len(extra)))
+            extra += val
+        else:
+            placed.append((tag, typ, cnt, val))
+    data_off = extra_off + len(extra)
+    for tag, typ, cnt, val in placed:
+        if tag == 273:
+            val = data_off
+        if isinstance(val, bytes):
+            ifd += struct.pack("<HHI4s", tag, typ, cnt, val.ljust(4, b"\x00"))
+        else:
+            ifd += struct.pack("<HHII", tag, typ, cnt, int(val))
+    ifd += struct.pack("<I", 0)
+
+    with open(path, "wb") as f:
+        f.write(header + ifd + extra + pixel_data)
+
+
+def read_geotiff(path: str) -> tuple[np.ndarray, Extent, float | None]:
+    """Parse back a tiff written by :func:`write_geotiff` -> (bands, extent,
+    nodata)."""
+    buf = open(path, "rb").read()
+    assert buf[:4] == b"II\x2a\x00"
+    (ifd_off,) = struct.unpack_from("<I", buf, 4)
+    (n,) = struct.unpack_from("<H", buf, ifd_off)
+    tags = {}
+    for i in range(n):
+        tag, typ, cnt, raw = struct.unpack_from("<HHI4s", buf, ifd_off + 2 + i * 12)
+        tags[tag] = (typ, cnt, raw)
+
+    def val(tag, idx=0):
+        typ, cnt, raw = tags[tag]
+        size = {2: 1, 3: 2, 4: 4, 12: 8}[typ]
+        total = size * cnt
+        data = raw[:total] if total <= 4 else buf[struct.unpack("<I", raw)[0]:][:total]
+        fmt = {2: "s", 3: "H", 4: "I", 12: "d"}[typ]
+        if typ == 2:
+            return data.rstrip(b"\x00").decode()
+        return struct.unpack(f"<{cnt}{fmt}", data)[idx]
+
+    w, h = val(256), val(257)
+    nb = val(277)
+    bits = val(258)
+    fmt = val(339)
+    kind = {1: "u", 2: "i", 3: "f"}[fmt]
+    dt = np.dtype(f"<{kind}{bits // 8}")
+    off = val(273)
+    count = val(279)
+    arr = np.frombuffer(buf[off : off + count], dtype=dt).reshape(h, w, nb)
+    sx, sy = val(33550, 0), val(33550, 1)
+    ox, oy = val(33922, 3), val(33922, 4)
+    extent = Extent(ox, oy - sy * h, ox + sx * w, oy)
+    nodata = None
+    if 42113 in tags:
+        s = val(42113)
+        nodata = float("nan") if s == "nan" else float(s)
+    return np.transpose(arr, (2, 0, 1)), extent, nodata
+
+
+# ---------------------------------------------------------------------------
+# Cube sinks
+# ---------------------------------------------------------------------------
+
+
+def save_stitched_geotiff(
+    cube: DataCube, path: str, date: str | None = None
+) -> str:
+    """Collect one date's tiles, stitch the full raster, write ONE GeoTIFF —
+    the reference's single-file save (geotiff/package.scala:347-422). For
+    rasters too large for the driver use save_geotiff_tiles instead."""
+    ld = cube.meta.layout
+    ct = parse_cell_type(cube.meta.cell_type)
+    df = cube.df
+    if cube.meta.temporal:
+        from pyspark.sql import functions as F
+
+        date = date or str(df.agg(F.min("time")).collect()[0][0].date())
+        df = df.where(F.to_date("time") == date)
+    H = ld.layout_rows * ld.tile_rows
+    W = ld.layout_cols * ld.tile_cols
+    nb = cube.meta.n_bands
+    full = np.full((nb, H, W), np.nan)
+    for r in df.collect():
+        stack = decode_tile_float(list(r.bands), ct, cube.meta.tile_shape)
+        full[
+            :,
+            r.row * ld.tile_rows : (r.row + 1) * ld.tile_rows,
+            r.col * ld.tile_cols : (r.col + 1) * ld.tile_cols,
+        ] = stack
+    out = np.stack([ct.from_float_nan(full[b]) for b in range(nb)])
+    write_geotiff(path, out, ld.extent, nodata=ct.nodata)
+    return path
+
+
+def save_geotiff_tiles(
+    cube: DataCube, out_dir: str, grid: int = 2
+) -> "pd.DataFrame":
+    """One GeoTIFF per (date, grid-cell of ``grid`` x ``grid`` layout tiles),
+    written BY THE EXECUTORS via applyInPandas (saveRDDGenericTileGrid
+    analog, geotiff/package.scala:494-569). Returns an index DataFrame
+    (path, date, gcol, grow, n_tiles) collected from the write tasks."""
+    from pyspark.sql import functions as F
+
+    os.makedirs(out_dir, exist_ok=True)
+    ld = cube.meta.layout
+    ct = parse_cell_type(cube.meta.cell_type)
+    nb = cube.meta.n_bands
+    th, tw = ld.tile_rows, ld.tile_cols
+    temporal = cube.meta.temporal
+
+    df = cube.df.withColumn("gcol", (F.col("col") / grid).cast("int")).withColumn(
+        "grow", (F.col("row") / grid).cast("int")
+    )
+    keys = (["time"] if temporal else []) + ["gcol", "grow"]
+
+    def write_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        gc, gr = int(pdf["gcol"].iloc[0]), int(pdf["grow"].iloc[0])
+        date = pdf["time"].iloc[0].strftime("%Y-%m-%d") if temporal else "static"
+        full = np.full((nb, grid * th, grid * tw), np.nan)
+        for rec in pdf.itertuples(index=False):
+            stack = decode_tile_float(list(rec.bands), ct, (th, tw))
+            ro = (int(rec.row) - gr * grid) * th
+            co = (int(rec.col) - gc * grid) * tw
+            full[:, ro : ro + th, co : co + tw] = stack
+        out = np.stack([ct.from_float_nan(full[b]) for b in range(nb)])
+        x0 = ld.extent.xmin + gc * grid * ld.tile_width
+        y1 = ld.extent.ymax - gr * grid * ld.tile_height
+        ext = Extent(x0, y1 - grid * ld.tile_height, x0 + grid * ld.tile_width, y1)
+        path = os.path.join(out_dir, f"{date}_g{gc}_{gr}.tif")
+        write_geotiff(path, out, ext, nodata=ct.nodata)
+        return pd.DataFrame(
+            [(path, date, gc, gr, len(pdf))],
+            columns=["path", "date", "gcol", "grow", "n_tiles"],
+        )
+
+    idx = df.groupBy(*keys).applyInPandas(
+        write_group, schema="path string, date string, gcol int, grow int, n_tiles int"
+    )
+    return idx.toPandas()

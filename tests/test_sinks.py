@@ -1,0 +1,147 @@
+"""Writer round-trips — mirrors the reference's WriteRDDToGeotiffTest /
+TileGridTest / NetCDFRDDWriterTest / PngTest patterns (SURVEY §5.6)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from openeo_geotrellis_extensions_spark.core.grid import Extent, LayoutDefinition
+from openeo_geotrellis_extensions_spark.sinks.geotiff import (
+    read_geotiff,
+    save_geotiff_tiles,
+    save_stitched_geotiff,
+    write_geotiff,
+)
+from openeo_geotrellis_extensions_spark.sinks.netcdf import save_samples, write_netcdf
+from openeo_geotrellis_extensions_spark.sinks.png import read_png, save_png, write_png
+from openeo_geotrellis_extensions_spark.sinks.tabular import (
+    save_geojson,
+    save_timeseries_csv,
+)
+from openeo_geotrellis_extensions_spark.operators.zonal import aggregate_spatial
+from openeo_geotrellis_extensions_spark.sources.datacube import (
+    arithmetic_cube,
+    constant_cube,
+)
+from openeo_geotrellis_extensions_spark.sources.interleaved import DATES
+
+LAYOUT = LayoutDefinition(Extent(0.0, 0.0, 2.0, 2.0), 2, 2, 8, 8)
+
+
+def test_geotiff_roundtrip_dtypes(tmp_path):
+    ext = Extent(4.0, 50.0, 5.0, 51.0)
+    for dt, nodata in [("uint8", 255), ("int16", -32768), ("float32", float("nan")),
+                       ("int32", None), ("float64", None)]:
+        rng = np.random.default_rng(1)
+        arr = (rng.random((2, 16, 16)) * 100).astype(dt)
+        p = str(tmp_path / f"t_{dt}.tif")
+        write_geotiff(p, arr, ext, nodata=nodata)
+        back, bext, bnod = read_geotiff(p)
+        np.testing.assert_array_equal(arr, back)
+        assert bext == pytest.approx(ext)
+        if nodata is None:
+            assert bnod is None
+        elif isinstance(nodata, float) and np.isnan(nodata):
+            assert np.isnan(bnod)
+        else:
+            assert bnod == nodata
+
+
+def test_geotiff_header_is_valid_tiff(tmp_path):
+    p = str(tmp_path / "t.tif")
+    write_geotiff(p, np.zeros((1, 4, 4), dtype=np.uint8), Extent(0, 0, 1, 1))
+    with open(p, "rb") as f:
+        assert f.read(4) == b"II\x2a\x00"  # little-endian classic TIFF magic
+
+
+def test_stitched_geotiff(spark, tmp_path):
+    cube = arithmetic_cube(spark, LAYOUT, n_bands=2, cell_type="int32")
+    p = save_stitched_geotiff(cube, str(tmp_path / "full.tif"), date=DATES[0])
+    bands, ext, nodata = read_geotiff(p)
+    assert bands.shape == (2, 16, 16)
+    assert ext == pytest.approx(LAYOUT.extent)
+    # pixel check vs formula (global px 10, py 3 -> tile (1,0), px 2, py 3)
+    v = (2 * 3 + 3 * 5 + 1 * 13 + 0 * 7 + 0 * 11) % 97
+    if (2 + 3 + 1 + 0 + 0) % 13 != 0:
+        assert bands[0, 3, 10] == v
+
+
+def test_geotiff_tile_grid_written_by_executors(spark, tmp_path):
+    cube = arithmetic_cube(spark, LAYOUT, n_bands=1, cell_type="int32")
+    idx = save_geotiff_tiles(cube, str(tmp_path / "tiles"), grid=2)
+    # 2x2 layout grouped in 2x2 super-cells -> 1 file per date
+    assert len(idx) == len(DATES)
+    for _, row in idx.iterrows():
+        bands, ext, _ = read_geotiff(row["path"])
+        assert bands.shape == (1, 16, 16)
+
+
+def test_png_roundtrip(tmp_path):
+    img = (np.arange(64).reshape(8, 8) * 3).astype(np.uint8)
+    p = str(tmp_path / "x.png")
+    write_png(p, img)
+    back = read_png(p)
+    np.testing.assert_array_equal(img, back)
+    with open(p, "rb") as f:
+        assert f.read(8) == b"\x89PNG\r\n\x1a\n"
+
+
+def test_save_png_from_cube(spark, tmp_path):
+    cube = constant_cube(spark, LAYOUT, band_values=[50], cell_type="uint8ud255")
+    p = save_png(cube, str(tmp_path / "c.png"))
+    img = read_png(p)
+    assert img.shape == (16, 16)
+    assert (img == 127).all()  # 50 in 0..100 -> 127.5 clipped
+
+
+def test_timeseries_csv_reference_header(spark, tmp_path):
+    """CSV header must be date,feature_index,<band labels>
+    (AggregateSpatialTest.scala:220)."""
+    cube = constant_cube(spark, LAYOUT, band_values=[10, None], cell_type="uint8ud255",
+                         band_names=("TestRed", "TestGreen"))
+    feats = spark.createDataFrame(
+        [(0, json.dumps({"type": "Polygon", "coordinates":
+                         [[[0.2, 0.2], [1.8, 0.2], [1.8, 1.8], [0.2, 1.8], [0.2, 0.2]]]}))],
+        ["feature_index", "geojson"],
+    )
+    stats = aggregate_spatial(cube, feats)
+    p = save_timeseries_csv(stats, str(tmp_path / "ts.csv"), ["TestRed", "TestGreen"])
+    lines = open(p).read().strip().split("\n")
+    assert lines[0] == "date,feature_index,TestRed,TestGreen"
+    assert len(lines) == 1 + len(DATES)
+    first = lines[1].split(",")
+    assert first[0] == DATES[0] and float(first[2]) == 10.0
+    assert first[3] == ""  # nodata band -> empty cell
+
+
+def test_save_samples_npz(spark, tmp_path):
+    cube = arithmetic_cube(spark, LAYOUT, n_bands=2, cell_type="int32")
+    feats = spark.createDataFrame(
+        [(0, json.dumps({"type": "Polygon", "coordinates":
+                         [[[0.2, 0.2], [0.8, 0.2], [0.8, 0.8], [0.2, 0.8], [0.2, 0.2]]]})),
+         (1, json.dumps({"type": "Polygon", "coordinates":
+                         [[[0.2, 0.2], [1.8, 0.2], [1.8, 1.8], [0.2, 1.8], [0.2, 0.2]]]}))],
+        ["feature_index", "geojson"],
+    )
+    idx = save_samples(cube, feats, str(tmp_path / "samples"))
+    assert len(idx) == 2
+    a = np.load(idx[idx.feature_index == 0].iloc[0]["path"])
+    assert a["data"].shape == (4, 2, 8, 8)  # 4 dates, 2 bands, 1 tile
+    b = np.load(idx[idx.feature_index == 1].iloc[0]["path"])
+    assert b["data"].shape == (4, 2, 16, 16)  # 2x2 tiles
+    with pytest.raises(NotImplementedError):
+        write_netcdf("x.nc", a["data"], {})
+
+
+def test_save_geojson(spark, tmp_path):
+    feats = spark.createDataFrame(
+        [(0, '{"type": "Point", "coordinates": [4.0, 51.0]}', 12.5)],
+        ["feature_index", "geojson", "mean"],
+    )
+    p = save_geojson(feats, str(tmp_path / "f.geojson"))
+    fc = json.load(open(p))
+    assert fc["type"] == "FeatureCollection"
+    assert fc["features"][0]["geometry"]["type"] == "Point"
+    assert fc["features"][0]["properties"]["mean"] == 12.5
