@@ -7,6 +7,9 @@ from .filters import (
     filter_temporal,
 )
 from .kernel import apply_kernel
+from .knn import knn_join
+from .neighborhood import apply_neighborhood, build_pyramid, zoom_out
+from .rasterize import rasterize_features, vectorize
 from .mask import mask, mask_polygon
 from .merge import merge_cubes
 from .resample import resample_spatial, retile
@@ -25,6 +28,12 @@ __all__ = [
     "filter_negative_keys",
     "filter_temporal",
     "apply_kernel",
+    "knn_join",
+    "apply_neighborhood",
+    "build_pyramid",
+    "zoom_out",
+    "rasterize_features",
+    "vectorize",
     "mask",
     "mask_polygon",
     "merge_cubes",
