@@ -976,6 +976,149 @@ def _q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from openeo_geotrellis_extensions_spark.operators.neighborhood import zoom_out  # noqa: E402
+from openeo_geotrellis_extensions_spark.operators.rasterize import (  # noqa: E402
+    rasterize_features,
+)
+from openeo_geotrellis_extensions_spark.sources.catalog import (  # noqa: E402
+    load_collection,
+    synth_catalog,
+)
+
+#: catalog request layout: 36x18 world tiles of 10 deg, 8x8 px
+CATALOG_LAYOUT = LayoutDefinition(Extent(-180.0, -90.0, 180.0, 90.0), 36, 18, 8, 8)
+CATALOG_BBOX = Extent(-30.0, -20.0, 30.0, 20.0)
+
+
+def _q_load_collection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog-driven load_collection (FileLayerProvider pipeline: catalog
+    pushdown -> footprint x grid-key join -> per-key read with paint-order
+    overlap resolve -> drop empty tiles) -> tile digests."""
+    cat = synth_catalog(spark, 64)
+    cube = load_collection(cat, CATALOG_LAYOUT, CATALOG_BBOX, n_bands=2)
+    return cube_digest(cube)
+
+
+def _oracle_load_collection() -> str:
+    dates = " UNION ALL ".join(
+        f"SELECT {i} AS di, '{d}' AS date" for i, d in enumerate(DATES)
+    )
+    return f"""
+        WITH dates AS ({dates}),
+        prods AS (
+            SELECT CAST(id AS INT) AS p,
+                   list_extract(['2017-01-01', '2017-01-15', '2017-02-01', '2018-01-15'],
+                                CAST(id % 4 AS INT) + 1) AS date,
+                   -180 + (id * 53) % 330 AS fx0, -85 + (id * 29) % 150 AS fy0,
+                   -180 + (id * 53) % 330 + 30 AS fx1, -85 + (id * 29) % 150 + 20 AS fy1
+            FROM generate_series(0, 63) t(id)
+        ),
+        keys AS (
+            SELECT CAST(c AS INT) AS c, CAST(r AS INT) AS r,
+                   -180 + c * 10.0 AS kx0, 90 - (r + 1) * 10.0 AS ky0,
+                   -180 + (c + 1) * 10.0 AS kx1, 90 - r * 10.0 AS ky1
+            FROM generate_series(0, 35) tc(c), generate_series(0, 17) tr(r)
+        ),
+        req_keys AS (
+            SELECT * FROM keys
+            WHERE kx0 < 30.0 AND kx1 > -30.0 AND ky0 < 20.0 AND ky1 > -20.0
+        ),
+        cover AS (
+            SELECT pr.date, pr.p, k.c, k.r
+            FROM prods pr JOIN req_keys k
+              ON pr.fx0 < k.kx1 AND pr.fx1 > k.kx0
+                 AND pr.fy0 < k.ky1 AND pr.fy1 > k.ky0
+        ),
+        px AS (SELECT CAST(px AS INT) AS px FROM generate_series(0, 7) t(px)),
+        py AS (SELECT CAST(py AS INT) AS py FROM generate_series(0, 7) t(py)),
+        bands AS (SELECT 0 AS band UNION ALL SELECT 1),
+        -- paint order: lowest VALID product wins per pixel
+        winner AS (
+            SELECT cv.date, cv.c, cv.r, px.px, py.py, MIN(cv.p) AS p
+            FROM cover cv, px, py
+            WHERE (cv.p + px.px + py.py) % 19 != 0
+            GROUP BY cv.date, cv.c, cv.r, px.px, py.py
+        ),
+        pixels AS (
+            SELECT w.date, w.c, w.r, b.band, w.px, w.py,
+                   CAST((w.p * 7 + w.c * 13 + w.r * 17 + b.band * 5
+                         + w.py * 3 + w.px) % 83 AS DOUBLE) AS v
+            FROM winner w, bands b
+        )
+        SELECT date, c AS col, r AS row, band,
+               CAST(COUNT(v) AS BIGINT) AS cnt,
+               ROUND(SUM(v), 4) AS sm, ROUND(MIN(v), 4) AS mn, ROUND(MAX(v), 4) AS mx
+        FROM pixels
+        GROUP BY date, c, r, band
+    """
+
+
+def _q_rasterize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector -> raster burn (VectorCubeMethods analog): rect features with
+    values, paint-order overlap, sparse keys -> digests."""
+    feats = spark.createDataFrame(
+        [
+            (1, _rect_geojson(0.49995, 0.49995, 1.50005, 1.50005), 10.0),
+            (2, _rect_geojson(0.89995, 0.89995, 3.10005, 3.10005), 20.0),
+        ],
+        ["feature_index", "geojson", "value"],
+    )
+    cube = rasterize_features(feats, ZONAL_LAYOUT, value_col="value", cell_type="float64")
+    return cube_digest(cube)
+
+
+def _oracle_rasterize() -> str:
+    return """
+        WITH tiles AS (SELECT CAST(c AS INT) AS c, CAST(r AS INT) AS r
+                       FROM generate_series(0, 3) tc(c), generate_series(0, 3) tr(r)),
+        px AS (SELECT CAST(px AS INT) AS px FROM generate_series(0, 15) t(px)),
+        py AS (SELECT CAST(py AS INT) AS py FROM generate_series(0, 15) t(py)),
+        pixels AS (
+            SELECT t.c, t.r, 0 AS band,
+                   0.0 + t.c * 1.0 + (px.px + 0.5) * 0.0625 AS x,
+                   4.0 - t.r * 1.0 - (py.py + 0.5) * 0.0625 AS y
+            FROM tiles t, px, py
+        ),
+        burned AS (
+            SELECT c, r, band,
+                   CASE
+                     WHEN x > 0.89995 AND x < 3.10005 AND y > 0.89995 AND y < 3.10005
+                       THEN 20.0
+                     WHEN x > 0.49995 AND x < 1.50005 AND y > 0.49995 AND y < 1.50005
+                       THEN 10.0
+                   END AS v
+            FROM pixels
+        )
+        SELECT c AS col, r AS row, band,
+               CAST(COUNT(v) AS BIGINT) AS cnt,
+               ROUND(SUM(v), 4) AS sm, ROUND(MIN(v), 4) AS mn, ROUND(MAX(v), 4) AS mx
+        FROM burned
+        GROUP BY c, r, band
+        HAVING COUNT(v) > 0
+    """
+
+
+def _q_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zoom_out: 2x2 block-mean pyramid level (TiledRasterLayer.scala:173)."""
+    cube = arithmetic_cube(spark, DIGEST_LAYOUT, n_bands=1, cell_type="float64")
+    return cube_digest(zoom_out(cube), round_to=6)
+
+
+def _oracle_pyramid() -> str:
+    src = f"""
+        SELECT q.date, 0 AS c, 0 AS r, 0 AS band, q.v FROM (
+            SELECT d.date,
+                   (t.c * 8 + px.px) // 2 AS bx, (t.r * 8 + py.py) // 2 AS by,
+                   AVG(CASE WHEN {_NA.format(b=0)} THEN NULL
+                            ELSE CAST({_VA.format(b=0)} AS DOUBLE) END) AS v
+            FROM dates d, tiles t, px, py
+            GROUP BY d.date, bx, by
+        ) q
+    """
+    tail = _digest_tail(src).replace(", 4)", ", 6)")
+    return f"WITH {_digest_base_cte()} {tail}"
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_cells": _q_doc_cells,
@@ -1001,6 +1144,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_knn": _q_geo_knn,
         "media_features": _q_media_features,
         "lsh_ann": _q_lsh_ann,
+        "load_collection": _q_load_collection,
+        "rasterize": _q_rasterize,
+        "pyramid_zoom_out": _q_pyramid,
     }
 
 
@@ -1029,4 +1175,7 @@ def oracle_sql() -> dict[str, str]:
         "geo_knn": _oracle_geo_knn(),
         "media_features": _oracle_media_features(),
         # lsh_ann: intentionally no oracle (approximate; rows-only check)
+        "load_collection": _oracle_load_collection(),
+        "rasterize": _oracle_rasterize(),
+        "pyramid_zoom_out": _oracle_pyramid(),
     }

@@ -277,7 +277,64 @@ def _product(data, ignore_nodata=True):
     return a.prod(axis=0)
 
 
+# -- date/time processes (OpenEOProcessScriptBuilder.scala:1116-1119,795-805)
+
+
+def _parse_dt(s):
+    from datetime import datetime
+
+    s = str(s).replace("Z", "+00:00")
+    try:
+        return datetime.fromisoformat(s)
+    except ValueError:
+        return datetime.fromisoformat(s[:10])
+
+
+def _date_difference(date1, date2, unit="second"):
+    d = _parse_dt(date2) - _parse_dt(date1)
+    sec = d.total_seconds()
+    return {
+        "second": sec, "minute": sec / 60, "hour": sec / 3600,
+        "day": sec / 86400, "month": sec / 86400 / 30.4375,
+        "year": sec / 86400 / 365.25,
+    }[unit]
+
+
+def _date_shift(date, value, unit):
+    from datetime import timedelta
+
+    dt = _parse_dt(date)
+    value = int(value)
+    if unit == "year":
+        dt = dt.replace(year=dt.year + value)
+    elif unit == "month":
+        import calendar
+
+        m = dt.month - 1 + value
+        y, mo = dt.year + m // 12, m % 12 + 1
+        # clamp day to the target month's length (openEO date_shift spec)
+        dt = dt.replace(year=y, month=mo, day=min(dt.day, calendar.monthrange(y, mo)[1]))
+    else:
+        dt = dt + timedelta(**{unit + "s": value})
+    return dt.isoformat()
+
+
+def _date_between(x, min, max, exclude_max=False):  # noqa: A002
+    dx, lo, hi = _parse_dt(x), _parse_dt(min), _parse_dt(max)
+    return float(lo <= dx < hi if exclude_max else lo <= dx <= hi)
+
+
+def _date_replace_component(date, value, component):
+    dt = _parse_dt(date)
+    return dt.replace(**{component: int(value)}).isoformat()
+
+
 _PROCESSES: dict[str, Callable] = {
+    # date/time
+    "date_difference": _date_difference,
+    "date_shift": _date_shift,
+    "date_between": _date_between,
+    "date_replace_component": _date_replace_component,
     # comparison (OpenEOProcessScriptBuilder.scala:1122-1128)
     "gt": _cmp(np.greater),
     "lt": _cmp(np.less),

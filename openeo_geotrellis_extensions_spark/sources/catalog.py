@@ -1,0 +1,190 @@
+"""Catalog-driven load_collection — the FileLayerProvider analog.
+
+Reference pipeline (layers/FileLayerProvider.scala:381-389, 1007-1180,
+675-710; SURVEY §3.1):
+  1. query the product catalog (OpenSearch/STAC) for features intersecting
+     the bbox/time range;
+  2. derive required tile keys from the request geometry (clipToGrid);
+  3. join product footprints to keys (overlap resolution by footprint);
+  4. push masks down as key semi-joins BEFORE reading pixels;
+  5. read raster regions per key, drop all-nodata tiles.
+
+Ours expresses 1-4 as DataFrame predicates/joins (Catalyst prunes the
+catalog scan; the footprint->keys step reuses the quadtree cover) and step 5
+as one mapInPandas whose "read" resolves deterministic synthetic pixels —
+the seam where a real reader (GDAL window reads in the reference) plugs in.
+Products are parquet rows; an Iceberg table would drop in unchanged (no
+Iceberg runtime ships in this environment — the checkpoint manifest in
+runtime/checkpoint.py is the commit-log analog).
+
+``fixed_features_catalog`` doubles as the load_stac / FixedFeatures path
+(file/FixedFeaturesOpenSearchClient.scala).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..core.celltype import parse_cell_type
+from ..core.grid import Extent, LayoutDefinition
+from ..operators.zonal import feature_tile_keys
+from .datacube import CubeMeta, DataCube, cube_schema
+from .interleaved import DATES
+
+
+def synth_catalog(spark: SparkSession, n_products: int = 64) -> DataFrame:
+    """Deterministic product catalog: rect footprints scattered over the
+    world, one date + band set per product (the OpenSearch feature analog).
+    Closed-form arithmetic -> SQL-oracle-able."""
+    return spark.range(n_products).selectExpr(
+        "format_string('prod_%04d', id) AS product_id",
+        f"element_at(array({', '.join(repr(d) for d in DATES)}), CAST(id % 4 AS INT) + 1) AS date",
+        # footprint: 30x20 deg rects tiling the world with drift
+        "CAST(-180 + (id * 53) % 330 AS DOUBLE) AS xmin",
+        "CAST(-85 + (id * 29) % 150 AS DOUBLE) AS ymin",
+        "CAST(-180 + (id * 53) % 330 + 30 AS DOUBLE) AS xmax",
+        "CAST(-85 + (id * 29) % 150 + 20 AS DOUBLE) AS ymax",
+        "CAST(id AS INT) AS product_index",
+    )
+
+
+def fixed_features_catalog(spark: SparkSession, features: list[dict]) -> DataFrame:
+    """load_stac fixed-feature list -> catalog DataFrame (FixedFeatures path)."""
+    return spark.createDataFrame(
+        [
+            (
+                f["product_id"],
+                f["date"],
+                float(f["bbox"][0]), float(f["bbox"][1]),
+                float(f["bbox"][2]), float(f["bbox"][3]),
+                i,
+            )
+            for i, f in enumerate(features)
+        ],
+        ["product_id", "date", "xmin", "ymin", "xmax", "ymax", "product_index"],
+    )
+
+
+def product_tile_values(
+    product_index: int, col: int, row: int, band: int, size: int
+) -> np.ndarray:
+    """Deterministic 'read' of one product's pixels for one tile — the GDAL
+    window-read seam. v = (p*7 + col*13 + row*17 + band*5 + py*3 + px) % 83,
+    nodata where (p + px + py) % 19 == 0."""
+    px = np.arange(size)[None, :]
+    py = np.arange(size)[:, None]
+    v = (product_index * 7 + col * 13 + row * 17 + band * 5 + py * 3 + px) % 83
+    out = v.astype(np.uint8)
+    out[(product_index + px + py) % 19 == 0] = 255
+    return out
+
+
+CATALOG_CELL_TYPE = "uint8ud255"
+
+
+def load_collection(
+    catalog: DataFrame,
+    layout: LayoutDefinition,
+    bbox: Extent,
+    time_range: tuple[str, str] | None = None,
+    n_bands: int = 2,
+    mask_keys: DataFrame | None = None,
+) -> DataCube:
+    """Catalog -> datacube for a bbox/time request. Overlapping products on
+    the same (date, key) resolve by LOWEST product_index filling nodata of
+    earlier ones (the reference resolves by footprint distance,
+    FileLayerProvider.scala:1129-1180 — ours is deterministic paint order)."""
+    # 1. catalog pushdown: bbox intersect + time range as Column predicates
+    cat = catalog.where(
+        (F.col("xmin") < bbox.xmax) & (F.col("xmax") > bbox.xmin)
+        & (F.col("ymin") < bbox.ymax) & (F.col("ymax") > bbox.ymin)
+    )
+    if time_range:
+        cat = cat.where(
+            (F.col("date") >= time_range[0]) & (F.col("date") < time_range[1])
+        )
+
+    # 2. requested keys ∩ product footprint keys (clipToGrid analog)
+    feats = cat.select(
+        "product_index",
+        F.format_string(
+            '{"type": "Polygon", "coordinates": [[[%s, %s], [%s, %s], [%s, %s], [%s, %s], [%s, %s]]]}',
+            "xmin", "ymin", "xmax", "ymin", "xmax", "ymax", "xmin", "ymax", "xmin", "ymin",
+        ).alias("geojson"),
+    ).withColumnRenamed("product_index", "feature_index")
+    pkeys = feature_tile_keys(feats, layout).withColumnRenamed(
+        "feature_index", "product_index"
+    )
+    req = Extent(
+        max(bbox.xmin, layout.extent.xmin), max(bbox.ymin, layout.extent.ymin),
+        min(bbox.xmax, layout.extent.xmax), min(bbox.ymax, layout.extent.ymax),
+    )
+    keys_in_bbox = [k for k in layout.keys_for_extent(req)]
+    kdf = catalog.sparkSession.createDataFrame(keys_in_bbox, ["col", "row"])
+    tasks = pkeys.join(F.broadcast(kdf), ["col", "row"], "inner").join(
+        cat.select("product_index", "date"), "product_index"
+    )
+
+    # 3. mask pushdown: drop keys before any pixel is read
+    # (applySpatialMask, FileLayerProvider.scala:435-458)
+    if mask_keys is not None:
+        tasks = tasks.join(mask_keys, ["col", "row"], "left_semi")
+
+    # 4. read + overlap resolve, one Arrow stage, grouped per (date, key)
+    ct = parse_cell_type(CATALOG_CELL_TYPE)
+    size = layout.tile_cols
+
+    def read_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        c = int(pdf["col"].iloc[0])
+        r = int(pdf["row"].iloc[0])
+        date = pdf["date"].iloc[0]
+        bands_out = []
+        for b in range(n_bands):
+            acc = np.full((size, size), 255, dtype=np.uint8)
+            for p in sorted(pdf["product_index"]):
+                tile = product_tile_values(int(p), c, r, b, size)
+                fill = acc == 255
+                acc[fill] = tile[fill]
+            bands_out.append(acc.tobytes() if (acc != 255).any() else b"")
+        return pd.DataFrame(
+            [(pd.Timestamp(date), c, r, bands_out)],
+            columns=["time", "col", "row", "bands"],
+        )
+
+    df = tasks.groupBy("date", "col", "row").applyInPandas(
+        read_group, schema=cube_schema(True)
+    )
+    # 5. drop all-nodata tiles (FileLayerProvider.scala:708)
+    df = df.where(F.expr("exists(bands, b -> length(b) > 0)"))
+    names = tuple(f"B{b}" for b in range(n_bands))
+    return DataCube(df, CubeMeta(layout, CATALOG_CELL_TYPE, names, temporal=True))
+
+
+def sampled_features(
+    catalog: DataFrame, layout: LayoutDefinition, bbox: Extent
+) -> DataFrame:
+    """Product metadata keyed by (date, col, row) WITHOUT reading pixels —
+    the FileRDDFactory.loadSpatialFeatureJsonRDD analog (file/FileRDDFactory.scala:58-140)
+    used by sampling jobs."""
+    cat = catalog.where(
+        (F.col("xmin") < bbox.xmax) & (F.col("xmax") > bbox.xmin)
+        & (F.col("ymin") < bbox.ymax) & (F.col("ymax") > bbox.ymin)
+    )
+    feats = cat.select(
+        "product_index",
+        F.format_string(
+            '{"type": "Polygon", "coordinates": [[[%s, %s], [%s, %s], [%s, %s], [%s, %s], [%s, %s]]]}',
+            "xmin", "ymin", "xmax", "ymin", "xmax", "ymax", "xmin", "ymax", "xmin", "ymin",
+        ).alias("geojson"),
+    ).withColumnRenamed("product_index", "feature_index")
+    pkeys = feature_tile_keys(feats, layout).withColumnRenamed(
+        "feature_index", "product_index"
+    )
+    return pkeys.join(cat, "product_index").select(
+        "date", "col", "row", "product_id", "product_index"
+    )
