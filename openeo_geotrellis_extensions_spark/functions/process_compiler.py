@@ -414,6 +414,16 @@ _PROCESSES: dict[str, Callable] = {
         axis=0,
     ),
     "array_apply": _array_apply,
+    "array_find": lambda data, value: (
+        float(idx[0][0]) if (idx := np.argwhere(
+            np.all(_as_array(data) == value, axis=tuple(range(1, _as_array(data).ndim)))
+            if _as_array(data).ndim > 1 else _as_array(data) == value
+        )).size else np.nan
+    ),
+    "array_modify": lambda data, values, index, length=0: np.concatenate(
+        [_as_array(data)[: int(index)], _as_array(values),
+         _as_array(data)[int(index) + int(length):]], axis=0
+    ),
     "array_interpolate_linear": _array_interpolate_linear,
     "linear_scale_range": _linear_scale_range,
     "quantiles": _quantiles,

@@ -1,5 +1,7 @@
 from .apply_process import apply_process, apply_time, reduce_bands, reduce_time
+from .cloud import chunk_polygon, to_scl_dilation_mask
 from .filters import (
+    crop,
     filter_bands,
     filter_bbox,
     filter_empty_tiles,
@@ -22,6 +24,9 @@ __all__ = [
     "apply_time",
     "reduce_bands",
     "reduce_time",
+    "crop",
+    "chunk_polygon",
+    "to_scl_dilation_mask",
     "filter_bands",
     "filter_bbox",
     "filter_empty_tiles",

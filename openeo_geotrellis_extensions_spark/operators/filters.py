@@ -42,6 +42,51 @@ def filter_bbox(cube: DataCube, bbox: Extent) -> DataCube:
     )
 
 
+def crop(cube: DataCube, bbox: Extent) -> DataCube:
+    """Full crop (crop_spatial, OpenEOProcesses.scala:1142-1159): key filter
+    + per-tile masking of pixels outside the bbox (tile geometry unchanged;
+    outside pixels -> nodata)."""
+    import numpy as np
+    import pandas as pd
+
+    from ..core.celltype import parse_cell_type
+    from ..core.tiles import decode_tile_float, encode_band
+
+    pruned = filter_bbox(cube, bbox)
+    ld = cube.meta.layout
+    ct = parse_cell_type(cube.meta.cell_type)
+    shape = cube.meta.tile_shape
+
+    def crop_tiles(it):
+        for pdf in it:
+            out = []
+            for rec in pdf.itertuples(index=False):
+                te = ld.extent_for_key(int(rec.col), int(rec.row))
+                if (bbox.xmin <= te.xmin and bbox.xmax >= te.xmax
+                        and bbox.ymin <= te.ymin and bbox.ymax >= te.ymax):
+                    out.append(list(rec.bands))  # fully inside: untouched
+                    continue
+                xs, ys = ld.pixel_centers_for_key(int(rec.col), int(rec.row))
+                inside = (
+                    (xs[None, :] > bbox.xmin) & (xs[None, :] < bbox.xmax)
+                    & (ys[:, None] > bbox.ymin) & (ys[:, None] < bbox.ymax)
+                )
+                stack = decode_tile_float(list(rec.bands), ct, shape)
+                out.append(
+                    [
+                        encode_band(
+                            ct.from_float_nan(np.where(inside, stack[b], np.nan)), ct
+                        )
+                        for b in range(stack.shape[0])
+                    ]
+                )
+            res = pdf.copy()
+            res["bands"] = out
+            yield res
+
+    return pruned.with_df(pruned.df.mapInPandas(crop_tiles, schema=pruned.df.schema))
+
+
 def filter_bands(cube: DataCube, bands: list[str] | list[int]) -> DataCube:
     """Band projection (pi): select band indices/names out of the band array
     via element_at — column pruning for the tensor dimension."""

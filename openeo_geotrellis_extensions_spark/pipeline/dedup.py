@@ -177,6 +177,52 @@ def simhash_signatures(
     return agg.select("id", sim.cast("long").alias("simhash"))
 
 
+def connected_components(
+    pairs: DataFrame, max_iters: int = 20
+) -> DataFrame:
+    """Duplicate-GROUP formation from near-dup pairs: connected components
+    via iterative min-label propagation (the scalable alternative to a
+    driver-side union-find; converges in O(diameter) join rounds, each a
+    plain shuffle join). -> (id, component) where component = min id in the
+    component."""
+    edges = (
+        pairs.selectExpr("id_a AS a", "id_b AS b")
+        .unionByName(pairs.selectExpr("id_b AS a", "id_a AS b"))
+        .distinct()
+    )
+    labels = edges.selectExpr("a AS id").distinct().withColumn(
+        "component", F.col("id")
+    )
+    for _ in range(max_iters):
+        # each node adopts the min label among itself and its neighbors
+        neigh = (
+            edges.join(labels.withColumnRenamed("id", "b"), "b")
+            .groupBy("a")
+            .agg(F.min("component").alias("nc"))
+            .withColumnRenamed("a", "id")
+        )
+        new_labels = (
+            labels.join(neigh, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("component"), F.coalesce("nc", "component")).alias(
+                    "component"
+                ),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels.localCheckpoint(eager=True)  # cut lineage per round
+        if changed == 0:
+            break
+    return labels
+
+
 def embedding_near_dups(
     emb: DataFrame,
     id_col: str = "vec_id",
