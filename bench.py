@@ -86,13 +86,18 @@ def run_pipelines(spark: SparkSession, n_docs: int) -> dict[str, float]:
     return timings
 
 
-def bench_once(cpus: int, n_docs: int, warmup: bool = True) -> dict[str, float]:
+def bench_once(
+    cpus: int, n_docs: int, warmup: bool = True, repeats: int = 2
+) -> dict[str, float]:
+    """Warmup pass (spawns/reuses Python UDF workers) then ``repeats`` timed
+    runs, reporting the per-stage minimum — this host shows heavy
+    run-to-run noise from neighbors, so min is the least-contended sample."""
     spark = build_spark(cpus)
     try:
         if warmup:
-            # spawn/reuse the Python UDF workers + JIT before timing
             run_pipelines(spark, max(2000, n_docs // 100))
-        return run_pipelines(spark, n_docs)
+        runs = [run_pipelines(spark, n_docs) for _ in range(repeats)]
+        return {k: min(r[k] for r in runs) for k in runs[0]}
     finally:
         spark.stop()
 
@@ -133,7 +138,7 @@ def main() -> None:
     if "--scaling" in sys.argv:
         lo = int(os.environ.get("SPARK_GRAFT_SCALE_LO", "2"))
         hi = int(os.environ.get("SPARK_GRAFT_SCALE_HI", "8"))
-        trials = int(os.environ.get("SPARK_GRAFT_SCALE_TRIALS", "3"))
+        trials = int(os.environ.get("SPARK_GRAFT_SCALE_TRIALS", "2"))  # each trial is itself min-of-2 runs
         # compute-bound workload for the scaling claim: 5x the per-round size
         n_docs = n_rows * int(os.environ.get("SPARK_GRAFT_SCALE_MULT", "200"))
         results = {}
@@ -194,7 +199,7 @@ def main() -> None:
         }}))
         return
 
-    t = bench_once(CPUS, n_docs)
+    t = bench_once(CPUS, n_docs, warmup=True)
     queries = {k: round(v, 3) for k, v in t.items() if not k.startswith("_")}
     total = sum(queries.values())
     out = {

@@ -237,8 +237,16 @@ def extract_geometries(docs: DataFrame) -> DataFrame:
     Non-geometry text spans are dropped. Parsing runs in ``mapInPandas``
     (Arrow batches; the reference's equivalent is driver-side GeoJSON decode
     in ProjectedPolygons.scala:71-175 — ours is distributed)."""
-    spans = explode_spans(docs).where(F.col("kind") == "text").select(
-        "doc_id", "span_idx", "text"
+    spans = (
+        explode_spans(docs)
+        .where(F.col("kind") == "text")
+        # JVM-side prefilter: only GeoJSON/WKT-looking spans reach Python
+        # (filler text never parses; skipping it saves ~1/3 of UDF input)
+        .where(
+            F.col("text").startswith("{")
+            | F.col("text").rlike("^(POINT|POLYGON|MULTIPOLYGON|MULTIPOINT)\\s*\\(")
+        )
+        .select("doc_id", "span_idx", "text")
     )
 
     def parse_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
