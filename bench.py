@@ -83,11 +83,39 @@ def run_pipelines(spark: SparkSession, n_docs: int) -> dict[str, float]:
     n_stats = stats.count()
     timings["zonal_stats"] = time.time() - t0
     timings["_stat_rows"] = float(n_stats)
+
+    # -- salted checkpoint-resumable cell write (north_rule features) ------
+    import shutil
+    import tempfile
+
+    from openeo_geotrellis_extensions_spark.operators.spatial_join import (
+        cell_for_point_col,
+    )
+    from openeo_geotrellis_extensions_spark.runtime.checkpoint import ResumableWriter
+    from openeo_geotrellis_extensions_spark.runtime.skew import with_salt
+
+    t0 = time.time()
+    out_dir = tempfile.mkdtemp(prefix="bench_ckpt_")
+    try:
+        cells = geo.withColumn(
+            "cell", cell_for_point_col(4, F.col("rep_x"), F.col("rep_y"))
+        )
+        salted = with_salt(cells, "cell", "doc_id", target_rows_per_salt=50_000)
+        bucketed = salted.withColumn(
+            "bucket", F.concat_ws("_", F.col("cell"), F.col("salt"))
+        )
+        summary = ResumableWriter(
+            out_dir, lineage={"stage": "bench_cell_write"}
+        ).run(bucketed)
+        timings["salted_ckpt_write"] = time.time() - t0
+        timings["_buckets"] = float(summary["written"])
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
     return timings
 
 
 def bench_once(
-    cpus: int, n_docs: int, warmup: bool = True, repeats: int = 2
+    cpus: int, n_docs: int, warmup: bool = True, repeats: int = 3
 ) -> dict[str, float]:
     """Warmup pass (spawns/reuses Python UDF workers) then ``repeats`` timed
     runs, reporting the per-stage minimum — this host shows heavy

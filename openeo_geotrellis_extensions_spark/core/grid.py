@@ -170,6 +170,16 @@ class LayoutDefinition:
         return px, py
 
 
+def zoomed_layout(zoom: int, tile_size: int = 256) -> LayoutDefinition:
+    """ZoomedLayoutScheme analog (DatacubeSupport.getLayout,
+    DatacubeSupport.scala:42-57): the global grid at a TMS-style zoom level —
+    2^(zoom+1) x 2^zoom tiles over the world extent (two root tiles, matching
+    GlobalGrid's cell hierarchy so cell ids and tile keys coincide)."""
+    return LayoutDefinition(
+        WORLD_EXTENT, 2 ** (zoom + 1), 2**zoom, tile_size, tile_size
+    )
+
+
 def floating_layout(extent: Extent, tile_cols: int = 256, tile_rows: int = 256,
                     cell_size: float | None = None) -> LayoutDefinition:
     """FloatingLayoutScheme analog (DatacubeSupport.scala:42-97): grid sized to

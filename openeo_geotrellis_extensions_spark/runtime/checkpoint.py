@@ -87,21 +87,26 @@ class ResumableWriter:
             remaining = df.join(F.broadcast(done_df), pc, "left_anti")
 
         t0 = time.time()
-        # per-bucket row counts double as the completion record source: the
-        # count and the write run over the same data (deterministic input)
-        counts = {
-            r[pc]: r["n"]
-            for r in remaining.groupBy(pc).agg(F.count("*").alias("n")).collect()
-        }
-        skipped = len(done)
-        if not counts:
-            return {"written": 0, "skipped": skipped, "attempt": attempt, "rows": 0}
+        # one shuffle: co-locate each bucket on one task so partitionBy emits
+        # ONE file per bucket (not tasks x buckets tiny files), and persist so
+        # the count and the write share the computed input
+        remaining = remaining.repartition(F.col(pc)).persist()
+        try:
+            counts = {
+                r[pc]: r["n"]
+                for r in remaining.groupBy(pc).agg(F.count("*").alias("n")).collect()
+            }
+            skipped = len(done)
+            if not counts:
+                return {"written": 0, "skipped": skipped, "attempt": attempt, "rows": 0}
 
-        (
-            remaining.write.mode("append")
-            .partitionBy(pc)
-            .parquet(self.out_dir)
-        )
+            (
+                remaining.write.mode("append")
+                .partitionBy(pc)
+                .parquet(self.out_dir)
+            )
+        finally:
+            remaining.unpersist()
         wall = time.time() - t0
 
         now = time.time()
