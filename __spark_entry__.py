@@ -1119,6 +1119,79 @@ def _oracle_pyramid() -> str:
     return f"WITH {_digest_base_cte()} {tail}"
 
 
+def _q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup GROUPS: MinHash+LSH candidates -> exact-Jaccard verify (>=0.5)
+    -> connected components via iterative min-label propagation."""
+    from openeo_geotrellis_extensions_spark.pipeline.dedup import (
+        connected_components,
+    )
+
+    docs = spark.read.parquet(_DOCS.format(sf=sf_dir))
+    pairs = minhash_lsh_pairs(docs, num_hashes=16, bands=4, verify_threshold=0.5)
+    return connected_components(pairs).select(
+        F.col("id").cast("long").alias("id"),
+        F.col("component").cast("long").alias("component"),
+    )
+
+
+def _oracle_dedup_groups() -> str:
+    """Transitive closure via DuckDB recursive CTE over the same edges."""
+    return f"""
+        WITH RECURSIVE {_GRAMS_CTE},
+        sz AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY 1),
+        inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+                  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2),
+        jpairs AS (
+            SELECT id_a, id_b
+            FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+            WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5
+        ),
+        edges AS (SELECT id_a AS a, id_b AS b FROM jpairs
+                  UNION SELECT id_b, id_a FROM jpairs),
+        reach AS (
+            SELECT a AS id, a AS r FROM edges
+            UNION
+            SELECT e.a AS id, rr.r
+            FROM edges e JOIN reach rr ON rr.id = e.b
+        )
+        SELECT id, MIN(r) AS component FROM reach GROUP BY id
+    """
+
+
+def _q_stream_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming event-time window + watermark, drained with an
+    availableNow trigger — checked against the batch SQL below."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from openeo_geotrellis_extensions_spark.streaming.events import (
+        run_stream_to_memory,
+        windowed_event_stats,
+    )
+
+    src = tempfile.mkdtemp(prefix="ev_stream_")
+    shutil.copy(f"{sf_dir}/events.parquet", src)
+    stream = windowed_event_stats(spark, src, window="1 day", watermark="2 days")
+    name = f"q_stream_{uuid.uuid4().hex[:8]}"
+    out = run_stream_to_memory(stream, name=name)
+    return out.select(
+        "window_start", "event_type",
+        F.col("n").cast("long").alias("n"), "sum_value",
+    )
+
+
+_ORACLE_STREAM_WINDOWED = """
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS window_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_cells": _q_doc_cells,
@@ -1147,6 +1220,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "load_collection": _q_load_collection,
         "rasterize": _q_rasterize,
         "pyramid_zoom_out": _q_pyramid,
+        "dedup_groups": _q_dedup_groups,
+        "stream_windowed": _q_stream_windowed,
     }
 
 
@@ -1178,4 +1253,6 @@ def oracle_sql() -> dict[str, str]:
         "load_collection": _oracle_load_collection(),
         "rasterize": _oracle_rasterize(),
         "pyramid_zoom_out": _oracle_pyramid(),
+        "dedup_groups": _oracle_dedup_groups(),
+        "stream_windowed": _ORACLE_STREAM_WINDOWED,
     }

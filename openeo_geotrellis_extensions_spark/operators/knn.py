@@ -104,7 +104,4 @@ def knn_join(
         if remaining.isEmpty():
             break
         radius *= 2
-    else:
-        # final pass: whatever was found at max radius (or nothing in range)
-        pass
     return results

@@ -66,44 +66,93 @@ _COVER_SCHEMA = StructType(
 )
 
 
+def _cover_from(g, start_cell: int, res: int) -> list[tuple[int, bool]]:
+    """Compact cover of geometry ``g`` restricted to ``start_cell``'s region,
+    flattened to (cell_at_res, contained) pairs."""
+    out: list[tuple[int, bool]] = []
+    stack = [int(start_cell)]
+    while stack:
+        cell = stack.pop()
+        r = int(np.int64(cell) >> 56)
+        cl = classify_rect(g, GlobalGrid.cell_extent(cell))
+        if cl == 0:
+            continue
+        if cl == 2 or r >= res:
+            full = cl == 2
+            for c in GlobalGrid.cover_to_res([cell], res):
+                out.append((int(c), full))
+        else:
+            stack.extend(GlobalGrid.children(cell))
+    return out
+
+
 def cover_cells_for_features(
-    features: DataFrame, res: int, min_res: int = 0
+    features: DataFrame, res: int, split_res: int = 2,
+    shuffle_split: bool = False,
 ) -> DataFrame:
     """(feature_index, geojson) -> (feature_index, cell, contained) at
     resolution ``res`` via compact cover + uncompact. ``contained`` cells are
     fully inside the feature (refine can be skipped — the H3 polyfill
-    'full cells' optimization)."""
+    'full cells' optimization).
 
-    def cover(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    Two pipelined stages: stage 1 explodes each feature into the coarse
+    (``split_res``) cells its bbox touches; stage 2 computes the compact
+    cover independently per coarse cell. With ``shuffle_split=True`` a
+    repartition between them spreads a continent-sized polygon across tasks
+    (use at high executor counts / few huge features); default is
+    shuffle-free — the split rows stay with their feature's partition, so
+    parallelism follows the features DataFrame's own partitioning."""
+    split_res = min(split_res, res)
+
+    def split(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            out_f, out_c, out_k = [], [], []
+            fis, gjs, cells = [], [], []
             for fi, gj in zip(pdf["feature_index"], pdf["geojson"]):
                 g = parse_geometry(gj)
                 if g is None:
                     continue
                 if g.kind in ("Point", "MultiPoint"):
-                    cells = set(
-                        int(c)
-                        for c in GlobalGrid.cell_for_point(
+                    # handled wholly in stage 2 under a single split cell
+                    fis.append(int(fi)); gjs.append(gj); cells.append(-1)
+                    continue
+                for c in GlobalGrid.bbox_cells(g.bbox(), split_res):
+                    fis.append(int(fi)); gjs.append(gj); cells.append(int(c))
+            yield pd.DataFrame(
+                {"feature_index": fis, "geojson": gjs, "split_cell": cells}
+            )
+
+    exploded = features.mapInPandas(
+        split, schema="feature_index int, geojson string, split_cell long"
+    )
+    if shuffle_split:
+        exploded = exploded.repartition(F.col("split_cell"), F.col("feature_index"))
+
+    def cover(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        geom_cache: dict[int, object] = {}
+        for pdf in it:
+            out_f, out_c, out_k = [], [], []
+            for fi, gj, sc in zip(
+                pdf["feature_index"], pdf["geojson"], pdf["split_cell"]
+            ):
+                g = geom_cache.get(int(fi))
+                if g is None:
+                    g = parse_geometry(gj)
+                    geom_cache[int(fi)] = g
+                if g.kind in ("Point", "MultiPoint"):
+                    for c in set(
+                        int(c) for c in GlobalGrid.cell_for_point(
                             res, g.points[:, 0], g.points[:, 1]
                         )
-                    )
-                    for c in cells:
+                    ):
                         out_f.append(int(fi)); out_c.append(c); out_k.append(False)
                     continue
-                compact = GlobalGrid.compact_cover(
-                    lambda ext: classify_rect(g, ext), min_res, res
-                )
-                for cc in compact:
-                    r = int(np.int64(cc) >> 56)
-                    full = r < res or classify_rect(g, GlobalGrid.cell_extent(cc)) == 2
-                    for c in GlobalGrid.cover_to_res([cc], res):
-                        out_f.append(int(fi)); out_c.append(int(c)); out_k.append(bool(full))
+                for c, full in _cover_from(g, int(sc), res):
+                    out_f.append(int(fi)); out_c.append(c); out_k.append(full)
             yield pd.DataFrame(
                 {"feature_index": out_f, "cell": out_c, "contained": out_k}
             )
 
-    return features.mapInPandas(cover, schema=_COVER_SCHEMA)
+    return exploded.mapInPandas(cover, schema=_COVER_SCHEMA)
 
 
 def spatial_join_points(

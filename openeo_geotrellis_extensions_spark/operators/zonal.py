@@ -48,7 +48,9 @@ _KEYS_SCHEMA = StructType(
 )
 
 
-def feature_tile_keys(features: DataFrame, layout: LayoutDefinition) -> DataFrame:
+def feature_tile_keys(
+    features: DataFrame, layout: LayoutDefinition, shuffle_split: bool = False
+) -> DataFrame:
     """(feature_index, geojson) -> candidate layout tile keys, the clipToGrid
     analog (FileLayerProvider.scala:1060-1093). Pure key metadata — no pixels
     touched — so downstream joins prune cube partitions before any decode
@@ -76,13 +78,61 @@ def feature_tile_keys(features: DataFrame, layout: LayoutDefinition) -> DataFram
             for rr0, rr1 in ((r0, rm), (rm + 1, r1)) if r1 > r0 else ((r0, r1),):
                 block_keys(g, cc0, cc1, rr0, rr1, out)
 
-    def keys(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    # stage 1: split each feature's key range into <=4x4 sub-ranges so huge
+    # features parallelize across tasks (one-task-per-feature was the serial
+    # bottleneck; same idea as cover_cells_for_features)
+    def split(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            fis, cols, rows_, conts = [], [], [], []
+            rows = []
             for fi, gj in zip(pdf["feature_index"], pdf["geojson"]):
                 g = parse_geometry(gj)
                 if g is None:
                     continue
+                if g.kind in ("Point", "MultiPoint"):
+                    rows.append((int(fi), gj, -1, -1, -1, -1))
+                    continue
+                ks = list(layout.keys_for_extent(g.bbox()))
+                if not ks:
+                    continue
+                c0 = min(k[0] for k in ks); c1 = max(k[0] for k in ks)
+                r0 = min(k[1] for k in ks); r1 = max(k[1] for k in ks)
+                nsc = min(4, c1 - c0 + 1)
+                nsr = min(4, r1 - r0 + 1)
+                cw = -(-(c1 - c0 + 1) // nsc)
+                rw = -(-(r1 - r0 + 1) // nsr)
+                for sc in range(nsc):
+                    for sr in range(nsr):
+                        bc0 = c0 + sc * cw
+                        br0 = r0 + sr * rw
+                        if bc0 > c1 or br0 > r1:
+                            continue
+                        rows.append(
+                            (int(fi), gj, bc0, min(bc0 + cw - 1, c1),
+                             br0, min(br0 + rw - 1, r1))
+                        )
+            yield pd.DataFrame(
+                rows, columns=["feature_index", "geojson", "c0", "c1", "r0", "r1"]
+            )
+
+    exploded = features.mapInPandas(
+        split,
+        schema="feature_index int, geojson string, c0 int, c1 int, r0 int, r1 int",
+    )
+    if shuffle_split:
+        exploded = exploded.repartition(F.col("feature_index"), F.col("c0"), F.col("r0"))
+
+    def keys(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        geom_cache: dict[int, object] = {}
+        for pdf in it:
+            fis, cols, rows_, conts = [], [], [], []
+            for fi, gj, c0, c1, r0, r1 in zip(
+                pdf["feature_index"], pdf["geojson"],
+                pdf["c0"], pdf["c1"], pdf["r0"], pdf["r1"],
+            ):
+                g = geom_cache.get(int(fi))
+                if g is None:
+                    g = parse_geometry(gj)
+                    geom_cache[int(fi)] = g
                 if g.kind in ("Point", "MultiPoint"):
                     seen = set()
                     for px_, py_ in g.points:
@@ -96,14 +146,8 @@ def feature_tile_keys(features: DataFrame, layout: LayoutDefinition) -> DataFram
                             fis.append(int(fi)); cols.append(k[0])
                             rows_.append(k[1]); conts.append(0)
                     continue
-                bb = g.bbox()
-                ks = list(layout.keys_for_extent(bb))
-                if not ks:
-                    continue
-                c0 = min(k[0] for k in ks); c1 = max(k[0] for k in ks)
-                r0 = min(k[1] for k in ks); r1 = max(k[1] for k in ks)
                 blocks: list[tuple[int, int, int, int, int]] = []
-                block_keys(g, c0, c1, r0, r1, blocks)
+                block_keys(g, int(c0), int(c1), int(r0), int(r1), blocks)
                 for bc0, bc1, br0, br1, cont in blocks:
                     cc, rr = np.meshgrid(
                         np.arange(bc0, bc1 + 1), np.arange(br0, br1 + 1)
@@ -117,7 +161,7 @@ def feature_tile_keys(features: DataFrame, layout: LayoutDefinition) -> DataFram
                 {"feature_index": fis, "col": cols, "row": rows_, "contained": conts}
             )
 
-    return features.mapInPandas(keys, schema=_KEYS_SCHEMA)
+    return exploded.mapInPandas(keys, schema=_KEYS_SCHEMA)
 
 
 _PARTIAL_SCHEMA = StructType(
