@@ -6,7 +6,7 @@ from .dedup import (
     ngram_jaccard_pairs,
     simhash_signatures,
 )
-from .similarity import cosine_topk_bruteforce, lsh_topk
+from .similarity import cosine_topk_bruteforce, ivf_topk, lsh_topk
 
 __all__ = [
     "lang_id",
@@ -19,5 +19,6 @@ __all__ = [
     "ngram_jaccard_pairs",
     "simhash_signatures",
     "cosine_topk_bruteforce",
+    "ivf_topk",
     "lsh_topk",
 ]

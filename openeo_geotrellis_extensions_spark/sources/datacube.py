@@ -209,9 +209,11 @@ def pattern_cube(
         else:
             rs = np.random.default_rng(42 + i)
             rng_vals.append(20.0 + 100.0 * rs.random((h, w)))
+    from datetime import datetime
+
     ct = parse_cell_type("float64")
     rows = [
-        (pd.Timestamp(date), i, 0, [encode_band(rng_vals[i], ct)])
+        (datetime.fromisoformat(date), i, 0, [encode_band(rng_vals[i], ct)])
         for i in range(layout.layout_cols)
     ]
     df = spark.createDataFrame(rows, schema=cube_schema(temporal=True))
@@ -246,19 +248,33 @@ def media_cube(docs: DataFrame, tile_size: int = 16) -> DataCube:
     schema = cube_schema(temporal=True)
 
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # vectorized: all tiles of a batch in one broadcasted numpy expression
+        px = np.arange(tile_size)[None, None, :]
+        py = np.arange(tile_size)[None, :, None]
         for pdf in it:
+            n = len(pdf)
+            if n == 0:
+                continue
+            cs = pdf["col"].to_numpy()[:, None, None]
+            rs = pdf["row"].to_numpy()[:, None, None]
+            ds = pdf["d"].to_numpy()[:, None, None]
+            nodata = (cs + rs + px + py) % 23 == 0
             out = []
-            for date, d, c, r, present in zip(
-                pdf["date"], pdf["d"], pdf["col"], pdf["row"], pdf["present_bands"]
-            ):
-                present = set(int(b) for b in present)
+            tiles_by_band = []
+            for b in (0, 1):
+                v = (cs * 31 + rs * 17 + ds * 11 + b * 7 + py * 5 + px * 3) % 100
+                t = v.astype(np.uint8)
+                t[nodata] = 255
+                tiles_by_band.append(t)
+            for i, (date, present) in enumerate(zip(pdf["date"], pdf["present_bands"])):
+                pres = set(int(b) for b in present)
                 bands = [
-                    media_tile_values(int(c), int(r), int(d), b, tile_size).tobytes()
-                    if b in present
-                    else b""
+                    tiles_by_band[b][i].tobytes() if b in pres else b""
                     for b in (0, 1)
                 ]
-                out.append((pd.Timestamp(date), int(c), int(r), bands))
+                out.append(
+                    (pd.Timestamp(date), int(pdf["col"].iloc[i]), int(pdf["row"].iloc[i]), bands)
+                )
             yield pd.DataFrame(out, columns=["time", "col", "row", "bands"])
 
     df = keys.mapInPandas(gen, schema=schema)

@@ -1,0 +1,71 @@
+"""Pattern cube fixture (F4 / buildSpatioTemporalDataCubePattern) + IVF ANN."""
+
+import numpy as np
+import pytest
+
+from openeo_geotrellis_extensions_spark.core.grid import Extent, LayoutDefinition
+from openeo_geotrellis_extensions_spark.core.tiles import decode_tile_float
+from openeo_geotrellis_extensions_spark.operators.merge import merge_cubes
+from openeo_geotrellis_extensions_spark.pipeline.similarity import (
+    cosine_topk_bruteforce,
+    ivf_topk,
+)
+from openeo_geotrellis_extensions_spark.sources.datacube import pattern_cube
+
+# 8 horizontal tiles (LayerFixtures.scala:122-148)
+LAYOUT = LayoutDefinition(Extent(0.0, 0.0, 8.0, 1.0), 8, 1, 8, 8)
+
+
+def test_pattern_cube_alternation(spark):
+    cube = pattern_cube(spark, LAYOUT, pattern_scale=1)
+    tiles = {
+        r.col: decode_tile_float(list(r.bands), "float64", (8, 8))[0]
+        for r in cube.df.collect()
+    }
+    assert len(tiles) == 8
+    for i in range(8):
+        if i % 2 == 0:
+            assert np.isnan(tiles[i]).all()  # empty tiles
+        else:
+            assert not np.isnan(tiles[i]).any()
+            assert (tiles[i] >= 20).all() and (tiles[i] <= 120).all()
+
+
+def test_pattern_cube_merge_fills_gaps(spark):
+    """F4 use: merging two offset patterns fills each other's gaps
+    (MergeCubesSpec RGB-with-different-nodata-layouts semantics)."""
+    a = pattern_cube(spark, LAYOUT, pattern_scale=1)
+    # shift: scale-2 pattern has a different empty set (tiles 0,1,4,5 empty)
+    b = pattern_cube(spark, LAYOUT, pattern_scale=2)
+    m = merge_cubes(a, b, "sum")
+    tiles = {
+        r.col: decode_tile_float(list(r.bands), m.meta.cell_type, (8, 8))[0]
+        for r in m.df.collect()
+    }
+    # tile 2: a empty (2%2=0... a empty at even), b data (2//2=1 odd) -> data
+    assert not np.isnan(tiles[2]).any()
+    # tile 0: both empty -> nodata
+    assert np.isnan(tiles[0]).all()
+    # tile 3: both data -> sum (>= 40)
+    assert (tiles[3] >= 40).all()
+
+
+def test_ivf_recall_vs_bruteforce(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").cache()
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk_bruteforce(emb, k=3).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk(emb, k=3, n_lists=16, n_probe=6).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    # random vectors = worst case for IVF too; 6/16 lists probed
+    assert recall >= 0.5, f"IVF recall {recall:.2f}"
+    # determinism (seeded kmeans)
+    approx2 = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk(emb, k=3, n_lists=16, n_probe=6).collect()
+    }
+    assert approx == approx2
