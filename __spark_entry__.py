@@ -964,6 +964,20 @@ def _oracle_media_features() -> str:
     """
 
 
+def _q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (KMeans coarse lists + probe + exact rerank; rows-only driver
+    check — recall floor vs brute force asserted in pytest)."""
+    from openeo_geotrellis_extensions_spark.pipeline.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ivf_topk(emb, k=3, n_lists=16, n_probe=6).select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("neighbor_id").cast("long").alias("neighbor_id"),
+        "cosine",
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
 def _q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via random-hyperplane LSH buckets + exact rerank (rows-only driver
     check; recall vs brute force asserted in pytest)."""
@@ -1217,6 +1231,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_knn": _q_geo_knn,
         "media_features": _q_media_features,
         "lsh_ann": _q_lsh_ann,
+        "ivf_ann": _q_ivf_ann,
         "load_collection": _q_load_collection,
         "rasterize": _q_rasterize,
         "pyramid_zoom_out": _q_pyramid,
