@@ -56,10 +56,6 @@ def _as_array(v):
     return np.asarray([v], dtype=np.float64)
 
 
-def _nan_to(v, out_type):
-    return v
-
-
 # -- binary / unary helpers (NaN-propagating by default) --------------------
 
 

@@ -101,20 +101,28 @@ def chunk_polygon(
         fi = int(pdf["feature_index"].iloc[0])
         g = parse_geometry(pdf["geojson"].iloc[0])
         rows = []
-        for (t, c, r), grp in pdf.groupby(["time", "col", "row"]):
+        # the callback sees the FULL time stack per tile (t, bands, h, w) —
+        # the xarray chunk contract of runChunkPolygonUserCode
+        for (c, r), grp in pdf.groupby(["col", "row"]):
             grp = grp.sort_values("time")
             stack = np.stack(
                 [decode_tile_float(list(b), ct, shape) for b in grp["bands"]]
-            )
+            )  # (T, bands, h, w)
             if mask_outside and not grp["contained"].iloc[0]:
                 xs, ys = layout.pixel_centers_for_key(int(c), int(r))
                 inside = raster_mask(g, xs, ys)
                 stack = np.where(inside[None, None], stack, np.nan)
             res = np.asarray(fn(stack, fi), dtype=np.float64)
-            bands = [
-                encode_band(ct.from_float_nan(res[0, b]), ct) for b in range(n_bands)
-            ]
-            rows.append((t, int(c), int(r), bands))
+            if res.shape != stack.shape:
+                raise ValueError(
+                    f"chunk fn must preserve shape {stack.shape}, got {res.shape}"
+                )
+            for ti, t in enumerate(grp["time"]):
+                bands = [
+                    encode_band(ct.from_float_nan(res[ti, b]), ct)
+                    for b in range(n_bands)
+                ]
+                rows.append((t, int(c), int(r), bands))
         return pd.DataFrame(rows, columns=["time", "col", "row", "bands"])
 
     chunked = joined.groupBy("feature_index").applyInPandas(

@@ -34,11 +34,13 @@ def mask(
     prune_keys: bool = True,
 ) -> DataCube:
     """Pixels where mask band0 != 0 (or mask is nodata) become
-    ``replacement`` (None = nodata). Mask tile absent -> data unchanged.
+    ``replacement`` (None = nodata). Mask tile absent -> data unchanged
+    (left join, rasterMaskGeneric semantics).
 
-    ``prune_keys``: additionally drop cube keys whose mask tile is entirely
-    masked — the reference's applySpatialMask pushdown (a left-semi join on
-    keys, which Catalyst pushes below the decode UDF)."""
+    ``prune_keys``: additionally drop cube keys whose mask tile exists and is
+    ENTIRELY masked — the reference's applySpatialMask pushdown — via an
+    anti-join on keys, before any data-tile decode. Keys with no mask tile
+    are unaffected by pruning."""
     keys = [k for k in cube.key_cols if k in mask_cube.df.columns]
     ct = cube.meta.cell_type
     mct = mask_cube.meta.cell_type
@@ -46,20 +48,27 @@ def mask(
     out_ct = parse_cell_type(ct)
 
     m = mask_cube.df.select(*keys, F.col("bands").alias("mask_bands"))
+    joined = cube.df
     if prune_keys:
-        # keys where the mask has at least one zero ("keep") pixel survive
-        def keep_keys(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # pushdown: drop cube keys whose mask tile is FULLY masked (no zero
+        # pixel) via anti-join — keys with no mask tile at all are kept, so
+        # the reference's "mask absent -> data unchanged" left-join semantics
+        # (DatacubeSupport.scala:191-243) still hold after pruning
+        def fully_masked(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in it:
                 rows = []
                 for i, mb in enumerate(pdf["mask_bands"]):
                     stack = decode_tile_float([mb[0]], mct, shape)
-                    if (np.nan_to_num(stack[0], nan=1.0) == 0).any():
+                    if not (np.nan_to_num(stack[0], nan=1.0) == 0).any():
                         rows.append(i)
-                yield pdf.iloc[rows]
+                yield pdf.iloc[rows][[*keys]]
 
-        m = m.mapInPandas(keep_keys, schema=m.schema)
+        dead = m.mapInPandas(
+            fully_masked, schema=m.select(*keys).schema
+        )
+        joined = joined.join(dead, keys, "left_anti")
 
-    joined = cube.df.join(m, keys, "left" if not prune_keys else "inner")
+    joined = joined.join(m, keys, "left")
     out_schema = cube.df.schema
 
     def apply_mask(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

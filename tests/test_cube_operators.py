@@ -265,3 +265,54 @@ def test_filter_empty_tiles(spark):
     assert filter_empty_tiles(cube).df.count() == 0
     cube2 = constant_cube(spark, LAYOUT, band_values=[1, None], cell_type="uint8ud255")
     assert filter_empty_tiles(cube2).df.count() == cube2.df.count()
+
+
+def test_mask_absent_tile_keeps_data_even_with_pruning(spark):
+    """Review regression: a cube key with NO mask tile must survive
+    prune_keys=True unchanged (left-join semantics + anti-join pruning)."""
+    cube = constant_cube(spark, LAYOUT, band_values=[10], cell_type="uint8ud255")
+    # mask cube covering ONLY tile (0,0), fully masked there
+    import pandas as _pd
+    from datetime import datetime as _dt
+    from openeo_geotrellis_extensions_spark.core.tiles import encode_band as _enc
+    from openeo_geotrellis_extensions_spark.core.celltype import parse_cell_type as _pct
+    from openeo_geotrellis_extensions_spark.sources.datacube import DataCube as _DC, cube_schema as _cs
+
+    ones = _enc(np.ones((8, 8)), _pct("uint8ud255"))
+    rows = [(_dt.fromisoformat(d), 0, 0, [ones]) for d in DATES]
+    mdf = spark.createDataFrame(rows, schema=_cs(True))
+    mc = _DC(mdf, cube.meta).with_meta(band_names=("mask",))
+    out = mask(cube, mc, prune_keys=True)
+    keys = {(r.col, r.row) for r in out.df.select("col", "row").distinct().collect()}
+    assert (0, 0) not in keys          # fully-masked key pruned
+    assert len(keys) == 3              # unmasked keys kept, data unchanged
+    arr = tiles_of(out)[(DATES[0], 1, 1)]
+    assert (arr == 10).all()
+
+
+def test_chunk_polygon_sees_full_time_stack(spark):
+    """Review regression: the chunk callback receives (T, bands, h, w) with
+    T = all dates, and output keeps every timestep."""
+    from openeo_geotrellis_extensions_spark.operators.cloud import chunk_polygon
+    import json as _json
+
+    cube = constant_cube(spark, LAYOUT, band_values=[10], cell_type="uint8ud255")
+    feats = spark.createDataFrame(
+        [(0, _json.dumps({"type": "Polygon", "coordinates":
+                          [[[0.2, 0.2], [1.3, 0.2], [1.3, 1.3], [0.2, 1.3], [0.2, 0.2]]]}))],
+        ["feature_index", "geojson"],
+    )
+    seen_T = []
+
+    def fn(stack, fi):
+        seen_T.append(stack.shape[0])
+        return stack * 3
+
+    out = chunk_polygon(cube, feats, fn)
+    per_key_dates = (
+        out.df.groupBy("col", "row").count().select("count").distinct().collect()
+    )
+    assert [r["count"] for r in per_key_dates] == [len(DATES)]
+    vals = tiles_of(out)[(DATES[1], 0, 1)]
+    v = vals[~np.isnan(vals)]
+    assert (v == 30).all()
