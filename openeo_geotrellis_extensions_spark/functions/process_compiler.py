@@ -447,8 +447,11 @@ def compile_process_graph(graph: dict, default_input_type: str = "float32") -> C
         raise ProcessCompileError("process graph needs exactly one result node")
 
     memo_types: dict[str, str] = {}
+    node_fns: dict[str, Callable[[Env], Any]] = {}
 
     def node_fn(node_id: str) -> Callable[[Env], Any]:
+        if node_id in node_fns:
+            return node_fns[node_id]
         node = graph[node_id]
         pid = node["process_id"]
         args = node.get("arguments", {})
@@ -460,9 +463,20 @@ def compile_process_graph(graph: dict, default_input_type: str = "float32") -> C
         for name, val in args.items():
             arg_fns[name] = value_fn(val)
 
-        def run(env: Env, _impl=impl, _fns=arg_fns):
+        # per-env value cache: a node feeding N consumers (diamond graphs)
+        # evaluates ONCE per invocation — env dicts are constructed fresh per
+        # .fn(env) call at every call site, so the reserved key cannot leak
+        # across invocations
+        def run(env: Env, _impl=impl, _fns=arg_fns, _nid=node_id):
+            cache = env.setdefault("__node_values__", {})
+            if _nid in cache:
+                return cache[_nid]
             kwargs = {k: f(env) for k, f in _fns.items()}
-            return _impl(**kwargs)
+            out = _impl(**kwargs)
+            cache[_nid] = out
+            return out
+
+        node_fns[node_id] = run
 
         # track output type
         if pid in _BOOL_OUT:

@@ -73,7 +73,7 @@ def knn_join(
     remaining = qs
     results = None
     radius = 1
-    for _ in range(max_rounds):
+    for rnd in range(max_rounds):
         rings = F.broadcast(_ring_cells(remaining, res, radius))
         cand = rings.join(pts, "cell").select(
             "query_id", "qx", "qy", "neighbor_id", "px", "py"
@@ -88,14 +88,22 @@ def knn_join(
             .where(F.col("rank") <= k)
         )
         # a query is done when it found k neighbors and the kth distance is
-        # safely inside the searched radius (no unseen cell can beat it)
+        # STRICTLY inside the searched radius — an exact-tie kth could still
+        # be beaten (deterministic smaller-id tie-break) by an unseen
+        # equal-distance point just outside the ring, so ties re-search
         kth = topk.groupBy("query_id").agg(
             F.count("*").alias("n"), F.max("dist").alias("kth")
         )
         safe = radius * cell_size
-        done_ids = kth.where((F.col("n") >= k) & (F.col("kth") <= safe)).select(
-            "query_id"
-        )
+        if rnd == max_rounds - 1:
+            # final round: resolve every remaining query with its best-so-far
+            # top-k (partial if the points table has < k rows) instead of
+            # silently dropping it
+            done_ids = kth.select("query_id")
+        else:
+            done_ids = kth.where((F.col("n") >= k) & (F.col("kth") < safe)).select(
+                "query_id"
+            )
         done = topk.join(done_ids, "query_id", "left_semi").select(
             "query_id", "neighbor_id", F.round("dist", 9).alias("dist"), "rank"
         )

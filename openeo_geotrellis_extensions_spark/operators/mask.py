@@ -41,6 +41,8 @@ def mask(
     ENTIRELY masked — the reference's applySpatialMask pushdown — via an
     anti-join on keys, before any data-tile decode. Keys with no mask tile
     are unaffected by pruning."""
+    if mask_cube.meta.layout != cube.meta.layout:
+        raise ValueError("mask requires identical layouts (resample the mask first)")
     keys = [k for k in cube.key_cols if k in mask_cube.df.columns]
     ct = cube.meta.cell_type
     mct = mask_cube.meta.cell_type

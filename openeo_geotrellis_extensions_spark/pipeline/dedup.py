@@ -233,7 +233,9 @@ def embedding_near_dups(
     scale path is similarity.lsh_topk). -> (id_a < id_b, cosine)."""
     a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
-    dot = F.expr("aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
+    dot = F.expr(
+        "aggregate(zip_with(va, vb, (x, y) -> CAST(x AS DOUBLE) * y), 0D, (acc, v) -> acc + v)"
+    )
     na = F.sqrt(F.expr("aggregate(va, 0D, (acc, v) -> acc + CAST(v AS DOUBLE) * v)"))
     nb = F.sqrt(F.expr("aggregate(vb, 0D, (acc, v) -> acc + CAST(v AS DOUBLE) * v)"))
     return (
