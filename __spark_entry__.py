@@ -617,7 +617,7 @@ def _oracle_reduce_bands_ndvi() -> str:
 from openeo_geotrellis_extensions_spark.operators.knn import knn_join  # noqa: E402
 from openeo_geotrellis_extensions_spark.pipeline.dedup import (  # noqa: E402
     dedup_exact,
-    embedding_near_dups,
+    embedding_near_dups_lsh,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash_signatures,
@@ -628,6 +628,7 @@ from openeo_geotrellis_extensions_spark.pipeline.multimodal import (  # noqa: E4
 )
 from openeo_geotrellis_extensions_spark.pipeline.similarity import (  # noqa: E402
     cosine_topk_bruteforce,
+    hyperplane_coefs,
     lsh_topk,
 )
 from openeo_geotrellis_extensions_spark.pipeline.text import (  # noqa: E402
@@ -811,27 +812,94 @@ def _oracle_simhash() -> str:
     """
 
 
+#: LSH params shared by the registered embedding queries and their oracles
+_LSH_BITS, _LSH_TABLES, _LSH_DIM = 4, 8, 64
+
+
 def _q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed near-dups (the 100 TB path — bucket equi-join, never
+    O(n^2)); the DuckDB oracle mirrors the deterministic exact-integer
+    hyperplane signatures bucket for bucket."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return embedding_near_dups(emb, threshold=0.4).select(
+    return embedding_near_dups_lsh(
+        emb, threshold=0.4, bits=_LSH_BITS, tables=_LSH_TABLES, dim=_LSH_DIM
+    ).select(
         F.col("id_a").cast("long").alias("id_a"),
         F.col("id_b").cast("long").alias("id_b"),
         "cosine",
     )
 
 
-_ORACLE_EMB_DUPS = """
-    WITH p AS (
-        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-               ROUND(
-                   list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
-                   / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
-                      * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6
-               ) AS cosine
-        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+def _lsh_buckets_cte() -> str:
+    """DuckDB CTEs computing the SAME (id, bucket) pairs as
+    similarity.hyperplane_buckets: quantized components floor(x*1e6) make
+    every dot an exact integer-valued double, so signs match Spark bit for
+    bit regardless of summation order."""
+    parts = []
+    for t in range(_LSH_TABLES):
+        bit_exprs = []
+        for b in range(_LSH_BITS):
+            coefs = hyperplane_coefs(t, b, _LSH_DIM)
+            lit = "[" + ", ".join(f"{c}.0" for c in coefs) + "]"
+            bit_exprs.append(
+                f"CASE WHEN list_dot_product(q, {lit}::DOUBLE[]) >= 0 THEN '1' ELSE '0' END"
+            )
+        sig = " || ".join(bit_exprs)
+        parts.append(f"SELECT vec_id AS id, '{t}:' || {sig} AS bucket FROM qv")
+    union = " UNION ALL ".join(parts)
+    return f"""
+        qv AS (SELECT vec_id,
+                      list_transform(CAST(embedding AS DOUBLE[]),
+                                     x -> floor(x * 1000000)) AS q
+               FROM embeddings),
+        buckets AS ({union})
+    """
+
+
+_COS_PAIR = """
+    ROUND(
+        list_dot_product(CAST(ea.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[]))
+        / (sqrt(list_dot_product(CAST(ea.embedding AS DOUBLE[]), CAST(ea.embedding AS DOUBLE[])))
+           * sqrt(list_dot_product(CAST(eb.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[])))), 6
     )
-    SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.4
 """
+
+
+def _oracle_emb_dups_lsh() -> str:
+    return f"""
+        WITH {_lsh_buckets_cte()},
+        cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+                 FROM buckets a JOIN buckets b
+                   ON a.bucket = b.bucket AND a.id < b.id),
+        scored AS (
+            SELECT c.id_a, c.id_b, {_COS_PAIR} AS cosine
+            FROM cand c
+            JOIN embeddings ea ON ea.vec_id = c.id_a
+            JOIN embeddings eb ON eb.vec_id = c.id_b
+        )
+        SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.4
+    """
+
+
+def _oracle_lsh_ann() -> str:
+    return f"""
+        WITH {_lsh_buckets_cte()},
+        cand AS (SELECT DISTINCT a.id AS query_id, b.id AS neighbor_id
+                 FROM buckets a JOIN buckets b
+                   ON a.bucket = b.bucket AND a.id != b.id),
+        scored AS (
+            SELECT c.query_id, c.neighbor_id, {_COS_PAIR} AS cosine
+            FROM cand c
+            JOIN embeddings ea ON ea.vec_id = c.query_id
+            JOIN embeddings eb ON eb.vec_id = c.neighbor_id
+        ),
+        ranked AS (
+            SELECT *, CAST(ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+            ) AS INT) AS rank FROM scored
+        )
+        SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 3
+    """
 
 
 def _q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -979,10 +1047,11 @@ def _q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN via random-hyperplane LSH buckets + exact rerank (rows-only driver
-    check; recall vs brute force asserted in pytest)."""
+    """ANN via random-hyperplane LSH buckets + exact rerank. Fully
+    oracle-checked: the deterministic exact-integer signatures let DuckDB
+    recompute bucket membership and the reranked top-k exactly."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return lsh_topk(emb, k=3, bits=4, tables=8, dim=64).select(
+    return lsh_topk(emb, k=3, bits=_LSH_BITS, tables=_LSH_TABLES, dim=_LSH_DIM).select(
         F.col("query_id").cast("long").alias("query_id"),
         F.col("neighbor_id").cast("long").alias("neighbor_id"),
         "cosine",
@@ -1260,11 +1329,13 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": _ORACLE_NGRAM_JACCARD,
         "minhash_lsh": _oracle_minhash_lsh(),
         "simhash": _oracle_simhash(),
-        "embedding_near_dups": _ORACLE_EMB_DUPS,
+        "embedding_near_dups": _oracle_emb_dups_lsh(),
         "knn_cosine": _ORACLE_KNN_COSINE,
         "geo_knn": _oracle_geo_knn(),
         "media_features": _oracle_media_features(),
-        # lsh_ann: intentionally no oracle (approximate; rows-only check)
+        "lsh_ann": _oracle_lsh_ann(),
+        # ivf_ann: intentionally no oracle (KMeans training is not
+        # SQL-expressible; rows-only check + recall floor in pytest)
         "load_collection": _oracle_load_collection(),
         "rasterize": _oracle_rasterize(),
         "pyramid_zoom_out": _oracle_pyramid(),

@@ -223,14 +223,62 @@ def connected_components(
     return labels
 
 
+def embedding_near_dups_lsh(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    bits: int = 4,
+    tables: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding cosine near-duplicates, LSH-bucketed (the 100 TB path):
+    candidates = pairs sharing any (table, hyperplane-signature) bucket — an
+    EQUI-JOIN on the bucket key, never O(n^2) — then exact cosine verify
+    within candidates. Recall is tuned by bits/tables (fewer bits -> bigger
+    buckets -> higher recall); truly-near pairs (cosine ~1) collide in some
+    table with probability ~1. Deterministic exact-integer signatures
+    (similarity._hyperplane_sig) make the whole algorithm SQL-mirrorable.
+    -> (id_a < id_b, cosine)."""
+    from .similarity import hyperplane_buckets
+
+    sigs = hyperplane_buckets(emb, bits, tables, dim, id_col, vec_col)
+    a = sigs.alias("a")
+    b = sigs.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("a.v").alias("va"),
+            F.col("b.id").alias("id_b"),
+            F.col("b.v").alias("vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    dot = F.expr(
+        "aggregate(zip_with(va, vb, (x, y) -> CAST(x AS DOUBLE) * y), 0D, (acc, v) -> acc + v)"
+    )
+    na = F.sqrt(F.expr("aggregate(va, 0D, (acc, v) -> acc + CAST(v AS DOUBLE) * v)"))
+    nb = F.sqrt(F.expr("aggregate(vb, 0D, (acc, v) -> acc + CAST(v AS DOUBLE) * v)"))
+    return (
+        cand.withColumn("cosine", F.round(dot / (na * nb), 6))
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 def embedding_near_dups(
     emb: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
 ) -> DataFrame:
-    """Embedding cosine near-duplicates (brute-force pairwise; the LSH-bucketed
-    scale path is similarity.lsh_topk). -> (id_a < id_b, cosine)."""
+    """Embedding cosine near-duplicates, brute-force pairwise — O(n^2), for
+    small inputs and as the pytest recall oracle ONLY; the registered scale
+    path is :func:`embedding_near_dups_lsh`. -> (id_a < id_b, cosine)."""
     a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     dot = F.expr(

@@ -46,13 +46,32 @@ def cosine_topk_bruteforce(
     )
 
 
+def hyperplane_coefs(table: int, bit: int, dim: int) -> list[int]:
+    """Deterministic pseudo-random hyperplane coefficients, engine-portable:
+    r[d] = ((table*31 + bit*131 + d*137) % 17) - 8."""
+    return [((table * 31 + bit * 131 + d * 137) % 17) - 8 for d in range(dim)]
+
+
 def _hyperplane_sig(vec_col: str, bits: int, dim: int, table: int) -> F.Column:
-    """Signature = concat of sign bits of <v, r_b> where r_b[d] =
-    ((table*31 + b*131 + d*137) % 17) - 8 (deterministic pseudo-random)."""
+    """Signature = concat of sign bits of <quantize(v), r_b> with r_b from
+    :func:`hyperplane_coefs`.
+
+    The vector is quantized per-component to floor(x * 1e6) so every product
+    and partial sum is an integer-valued double well below 2^53 — the dot is
+    EXACT in IEEE arithmetic regardless of summation order, making bucket
+    membership bit-reproducible across engines (the DuckDB oracle recomputes
+    the same signatures)."""
     bit_cols = []
     for b in range(bits):
-        coef = f"transform(sequence(0, {dim - 1}), d -> CAST(({table} * 31 + {b} * 131 + d * 137) % 17 - 8 AS DOUBLE))"
-        dot = f"aggregate(zip_with({vec_col}, {coef}, (x, c) -> CAST(x AS DOUBLE) * c), 0D, (acc, v) -> acc + v)"
+        coef = (
+            f"transform(sequence(0, {dim - 1}), "
+            f"d -> CAST(({table} * 31 + {b} * 131 + d * 137) % 17 - 8 AS DOUBLE))"
+        )
+        dot = (
+            f"aggregate(zip_with({vec_col}, {coef}, "
+            f"(x, c) -> floor(CAST(x AS DOUBLE) * 1000000D) * c), "
+            f"0D, (acc, v) -> acc + v)"
+        )
         bit_cols.append(F.when(F.expr(dot) >= 0, F.lit("1")).otherwise(F.lit("0")))
     return F.concat(*bit_cols)
 
@@ -118,6 +137,30 @@ def ivf_topk(
     )
 
 
+def hyperplane_buckets(
+    emb: DataFrame,
+    bits: int,
+    tables: int,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Explode each vector to its ``tables`` LSH bucket keys:
+    -> (id, v, bucket) with bucket = 'table:signature'."""
+    return emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.explode(
+            F.array(
+                *[
+                    F.concat(F.lit(f"{t}:"), _hyperplane_sig(vec_col, bits, dim, t))
+                    for t in range(tables)
+                ]
+            )
+        ).alias("bucket"),
+    )
+
+
 def lsh_topk(
     emb: DataFrame,
     k: int = 5,
@@ -130,19 +173,10 @@ def lsh_topk(
     """ANN top-k: random-hyperplane LSH across ``tables`` hash tables;
     candidates = pairs sharing any (table, signature) bucket; exact cosine
     rerank within candidates. Recall grows with tables, bucket size shrinks
-    with bits. -> (query_id, neighbor_id, cosine, rank)."""
-    sigs = emb.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
-        F.explode(
-            F.array(
-                *[
-                    F.concat(F.lit(f"{t}:"), _hyperplane_sig(vec_col, bits, dim, t))
-                    for t in range(tables)
-                ]
-            )
-        ).alias("bucket"),
-    )
+    with bits. The whole algorithm (deterministic hyperplanes + exact-integer
+    signatures) is engine-portable, so a SQL oracle can mirror it bucket for
+    bucket. -> (query_id, neighbor_id, cosine, rank)."""
+    sigs = hyperplane_buckets(emb, bits, tables, dim, id_col, vec_col)
     a = sigs.alias("a")
     b = sigs.alias("b")
     cand = (

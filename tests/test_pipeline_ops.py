@@ -127,3 +127,33 @@ def test_multimodal_stubs_raise():
         decode_image(b"...", "png")
     with pytest.raises(NotImplementedError):
         sample_frames(b"...")
+
+
+def test_embedding_near_dups_lsh_subset_and_recall(spark, emb):
+    """LSH-bucketed near-dups: every returned pair must appear in the
+    brute-force result with an identical cosine (precision 1.0), and recall
+    of truly-near pairs (cosine >= 0.5, ~29 deg) must clear the floor.
+    Random vectors are LSH's worst case — clustered real embeddings do
+    far better at the same settings."""
+    from openeo_geotrellis_extensions_spark.pipeline.dedup import (
+        embedding_near_dups,
+        embedding_near_dups_lsh,
+    )
+
+    exact = {
+        (r.id_a, r.id_b): r.cosine
+        for r in embedding_near_dups(emb, threshold=0.4).collect()
+    }
+    approx = {
+        (r.id_a, r.id_b): r.cosine
+        for r in embedding_near_dups_lsh(
+            emb, threshold=0.4, bits=4, tables=8, dim=64
+        ).collect()
+    }
+    assert approx, "LSH near-dups found nothing"
+    for pair, cos in approx.items():
+        assert pair in exact and exact[pair] == cos  # precision 1.0
+    hi = {p for p, c in exact.items() if c >= 0.5}
+    if hi:
+        got = len(hi & set(approx)) / len(hi)
+        assert got >= 0.5, f"high-cosine recall {got:.2f}"
