@@ -748,6 +748,37 @@ _ORACLE_NGRAM_JACCARD = f"""
 """
 
 
+def _q_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB-safe variant: hot n-grams (df > 4) excluded from candidate
+    generation (prefix filtering kills the quadratic hot bucket); surviving
+    candidates scored with exact jaccard over FULL gram sets."""
+    docs = spark.read.parquet(_DOCS.format(sf=sf_dir))
+    return ngram_jaccard_pairs(docs, threshold=0.05, max_df=4).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        "jaccard",
+    )
+
+
+_ORACLE_NGRAM_JACCARD_CAPPED = f"""
+    WITH {_GRAMS_CTE},
+    dfreq AS (SELECT g, COUNT(*) AS df FROM grams GROUP BY g),
+    idx AS (SELECT gr.doc_id, gr.g FROM grams gr JOIN dfreq d USING (g)
+            WHERE d.df <= 4),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM idx a JOIN idx b ON a.g = b.g AND a.doc_id < b.doc_id),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY 1),
+    inter AS (SELECT c.id_a, c.id_b, COUNT(*) AS i
+              FROM cand c
+              JOIN grams ga ON ga.doc_id = c.id_a
+              JOIN grams gb ON gb.doc_id = c.id_b AND gb.g = ga.g
+              GROUP BY 1, 2),
+    j AS (SELECT id_a, id_b, ROUND(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
+          FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b)
+    SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.05
+"""
+
+
 def _q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(_DOCS.format(sf=sf_dir))
     return minhash_lsh_pairs(
@@ -1293,6 +1324,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": _q_text_quality,
         "dedup_exact": _q_dedup_exact,
         "ngram_jaccard": _q_ngram_jaccard,
+        "ngram_jaccard_capped": _q_ngram_jaccard_capped,
         "minhash_lsh": _q_minhash_lsh,
         "simhash": _q_simhash,
         "embedding_near_dups": _q_embedding_near_dups,
@@ -1327,6 +1359,7 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": _oracle_text_quality(),
         "dedup_exact": _ORACLE_DEDUP_EXACT,
         "ngram_jaccard": _ORACLE_NGRAM_JACCARD,
+        "ngram_jaccard_capped": _ORACLE_NGRAM_JACCARD_CAPPED,
         "minhash_lsh": _oracle_minhash_lsh(),
         "simhash": _oracle_simhash(),
         "embedding_near_dups": _oracle_emb_dups_lsh(),

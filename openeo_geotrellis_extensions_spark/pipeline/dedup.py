@@ -45,17 +45,100 @@ def word_ngrams(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFr
     )
 
 
+def jaccard_verify(
+    df: DataFrame,
+    cand: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard for CANDIDATE pairs only (id_a < id_b in
+    ``cand``). The gram table is semi-joined down to candidate ids BEFORE any
+    intersection work, so the cost is O(candidate grams), independent of the
+    corpus — the fix for the round-1 'verify scores all co-occurring pairs'
+    scale bug. Pairs sharing zero grams get no row (jaccard 0).
+    -> (id_a, id_b, jaccard)."""
+    grams = word_ngrams(df, text_col, id_col, n)
+    ids = (
+        cand.select(F.col("id_a").alias("id"))
+        .union(cand.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    gc = grams.join(ids, "id", "left_semi")
+    sizes = gc.groupBy("id").agg(F.count("*").alias("sz"))
+    # attach id_a's grams to each candidate pair, then equi-join on
+    # (id_b, ngram): intersection counted per PAIR, no quadratic bucket
+    ga = cand.join(gc.select(F.col("id").alias("id_a"), "ngram"), "id_a")
+    inter = (
+        ga.join(gc.select(F.col("id").alias("id_b"), "ngram"), ["id_b", "ngram"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6
+            ).alias("jaccard"),
+        )
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.3,
+    max_df: int | None = None,
 ) -> DataFrame:
-    """Exact n-gram Jaccard similarity join: pairs (id_a < id_b, jaccard >=
+    """n-gram Jaccard similarity join: pairs (id_a < id_b, jaccard >=
     threshold). Inverted-index self-join on shared n-grams (only co-occurring
-    pairs are scored — the standard set-similarity join)."""
+    pairs are scored — the standard set-similarity join).
+
+    ``max_df``: document-frequency cap on the inverted index — n-grams
+    appearing in more than ``max_df`` docs (boilerplate, stopword runs) are
+    EXCLUDED from candidate generation, killing the quadratic hot-bucket a
+    skewed shingle creates at scale (standard prefix filtering; the count of
+    dropped grams is logged). Scoring still uses the FULL gram sets, so
+    surviving pairs get their exact jaccard; pairs sharing only hot grams
+    are missed (the documented lossy tradeoff)."""
     grams = word_ngrams(df, text_col, id_col, n)
+    if max_df is not None:
+        hot = (
+            grams.groupBy("ngram")
+            .agg(F.count("*").alias("df"))
+            .where(F.col("df") > max_df)
+        )
+        n_hot = hot.count()
+        if n_hot:
+            import logging
+
+            logging.getLogger(__name__).info(
+                "ngram_jaccard_pairs: dropping %d hot n-grams (df > %d) "
+                "from candidate generation",
+                n_hot,
+                max_df,
+            )
+        idx = grams.join(hot, "ngram", "left_anti")
+        cand = (
+            idx.alias("a")
+            .join(
+                idx.alias("b"),
+                (F.col("a.ngram") == F.col("b.ngram"))
+                & (F.col("a.id") < F.col("b.id")),
+            )
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .distinct()
+        )
+        return jaccard_verify(df, cand, text_col, id_col, n).where(
+            F.col("jaccard") >= threshold
+        )
     sizes = grams.groupBy("id").agg(F.count("*").alias("sz"))
     a = grams.alias("a")
     b = grams.alias("b")
@@ -143,8 +226,9 @@ def minhash_lsh_pairs(
     )
     if verify_threshold is None:
         return cand
-    exact = ngram_jaccard_pairs(df, text_col, id_col, n, threshold=0.0)
-    return cand.join(exact, ["id_a", "id_b"], "inner").where(
+    # verify scans ONLY candidate ids (semi-join pushdown inside
+    # jaccard_verify) — never the full corpus's co-occurring pairs
+    return jaccard_verify(df, cand, text_col, id_col, n).where(
         F.col("jaccard") >= verify_threshold
     )
 

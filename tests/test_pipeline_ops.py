@@ -157,3 +157,39 @@ def test_embedding_near_dups_lsh_subset_and_recall(spark, emb):
     if hi:
         got = len(hi & set(approx)) / len(hi)
         assert got >= 0.5, f"high-cosine recall {got:.2f}"
+
+
+def test_jaccard_verify_matches_exact_on_candidates(spark):
+    """jaccard_verify(df, cand) == full exact join restricted to cand."""
+    from openeo_geotrellis_extensions_spark.pipeline.dedup import (
+        jaccard_verify,
+        minhash_lsh_pairs,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    cand = minhash_lsh_pairs(docs, num_hashes=16, bands=4)
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, threshold=0.0).collect()
+    }
+    verified = jaccard_verify(docs, cand).collect()
+    assert verified
+    for r in verified:
+        assert exact[(r.id_a, r.id_b)] == r.jaccard
+
+
+def test_ngram_jaccard_max_df_drops_only_hot_gram_pairs(spark):
+    """With the df cap: every returned pair is in the uncapped result with
+    identical jaccard; pairs missed share only hot grams."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    full = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, threshold=0.05).collect()
+    }
+    capped = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, threshold=0.05, max_df=4).collect()
+    }
+    assert capped
+    for pair, j in capped.items():
+        assert full[pair] == j

@@ -97,3 +97,16 @@ def test_embedding_queries_have_no_cartesian(spark):
         plan = plan_of(df)
         assert "CartesianProduct" not in plan, q
         assert "BroadcastNestedLoopJoin" not in plan, q
+
+
+def test_minhash_verify_scans_only_candidates(spark):
+    """The exact-Jaccard verify stage must semi-join grams down to candidate
+    ids BEFORE intersecting (round-1 fix): the plan carries a LeftSemi join,
+    and no unrestricted gram self-join feeds the jaccard aggregation."""
+    from openeo_geotrellis_extensions_spark.pipeline.dedup import (
+        minhash_lsh_pairs,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_of(minhash_lsh_pairs(docs, verify_threshold=0.5))
+    assert "LeftSemi" in plan
