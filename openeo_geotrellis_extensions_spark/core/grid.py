@@ -134,9 +134,11 @@ class LayoutDefinition:
         ymax = self.extent.ymax - row * self.tile_height
         return Extent(xmin, ymax - self.tile_height, xmin + self.tile_width, ymax)
 
-    def keys_for_extent(self, e: Extent) -> Iterator[tuple[int, int]]:
-        """All in-grid keys whose tile extent intersects ``e`` (half-open:
-        a geometry touching only a tile's max edge does not select it)."""
+    def key_bounds_for_extent(self, e: Extent) -> tuple[int, int, int, int]:
+        """(c0, r0, c1, r1) inclusive key bounds of tiles intersecting ``e``
+        (half-open: a geometry touching only a tile's max edge does not
+        select it). Four ints — usable as Column predicates so a continental
+        bbox never enumerates keys driver-side."""
         c0 = max(0, int(math.floor((e.xmin - self.extent.xmin) / self.tile_width)))
         c1 = min(
             self.layout_cols - 1,
@@ -147,6 +149,13 @@ class LayoutDefinition:
             self.layout_rows - 1,
             int(math.ceil((self.extent.ymax - e.ymin) / self.tile_height)) - 1,
         )
+        return c0, r0, c1, r1
+
+    def keys_for_extent(self, e: Extent) -> Iterator[tuple[int, int]]:
+        """All in-grid keys whose tile extent intersects ``e`` (driver-side
+        enumeration — prefer :meth:`key_bounds_for_extent` predicates in
+        DataFrame plans)."""
+        c0, r0, c1, r1 = self.key_bounds_for_extent(e)
         for row in range(r0, r1 + 1):
             for col in range(c0, c1 + 1):
                 yield col, row

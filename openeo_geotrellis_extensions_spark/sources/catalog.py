@@ -124,11 +124,13 @@ def load_collection(
         max(bbox.xmin, layout.extent.xmin), max(bbox.ymin, layout.extent.ymin),
         min(bbox.xmax, layout.extent.xmax), min(bbox.ymax, layout.extent.ymax),
     )
-    keys_in_bbox = [k for k in layout.keys_for_extent(req)]
-    kdf = catalog.sparkSession.createDataFrame(keys_in_bbox, ["col", "row"])
-    tasks = pkeys.join(F.broadcast(kdf), ["col", "row"], "inner").join(
-        cat.select("product_index", "date"), "product_index"
-    )
+    # requested-key restriction as four Column predicates — a continental
+    # bbox on a fine layout stays a filter, never a driver-side key table
+    # (round-1 scale fix: no createDataFrame of millions of keys)
+    c0, r0, c1, r1 = layout.key_bounds_for_extent(req)
+    tasks = pkeys.where(
+        F.col("col").between(c0, c1) & F.col("row").between(r0, r1)
+    ).join(cat.select("product_index", "date"), "product_index")
 
     # 3. mask pushdown: drop keys before any pixel is read
     # (applySpatialMask, FileLayerProvider.scala:435-458)

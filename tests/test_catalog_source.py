@@ -116,3 +116,19 @@ def test_date_processes():
         g1("date_replace_component", date="2020-06-15", value=2021, component="year")
     )
     assert c.fn({}).startswith("2021-06-15")
+
+
+def test_load_collection_no_driver_side_key_table(spark):
+    """The requested-bbox key restriction must be Column predicates, not a
+    materialized key list: the plan contains no LocalTableScan/scan of an
+    in-memory key relation feeding the footprint-key join."""
+    import __spark_entry__ as m
+    from openeo_geotrellis_extensions_spark.sources.catalog import (
+        load_collection,
+        synth_catalog,
+    )
+
+    cat = synth_catalog(spark, 16)
+    cube = load_collection(cat, m.CATALOG_LAYOUT, m.CATALOG_BBOX, n_bands=1)
+    plan = cube.df._jdf.queryExecution().executedPlan().toString()
+    assert "LocalTableScan" not in plan
