@@ -518,6 +518,53 @@ def _oracle_aggregate_temporal() -> str:
     return f"WITH {_digest_base_cte()} {_digest_tail(src)}"
 
 
+def _q_resample_crs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CRS warp (TileRDDReproject parity): arithmetic cube on DIGEST_LAYOUT
+    (EPSG:4326) reprojected onto the negotiated web-Mercator layout; the
+    oracle regenerates every target pixel through the same closed-form
+    inverse-Mercator math."""
+    from openeo_geotrellis_extensions_spark.core.proj import reproject_layout
+    from openeo_geotrellis_extensions_spark.operators.resample import (
+        resample_spatial,
+    )
+
+    cube = arithmetic_cube(spark, DIGEST_LAYOUT, n_bands=1, cell_type="float64")
+    target = reproject_layout(DIGEST_LAYOUT, "EPSG:3857")
+    return cube_digest(resample_spatial(cube, target))
+
+
+def _oracle_resample_crs() -> str:
+    # target extent: merc(0..2 deg) => x,y in [0, R*radians(2)] x [0, R*ln(tan(pi/4+radians(2)/2))]
+    # pixel-center + inverse-projection composed EXACTLY like
+    # LayoutDefinition.pixel_centers_for_key + core/proj (power-of-2
+    # divisions are exact, transcendental ulp noise is ~1e-14 vs ~1e-3
+    # margins to the nearest source-pixel boundary)
+    src = """
+        SELECT d.date, t.c, t.r, 0 AS band,
+               CASE WHEN (gx % 8 + gy % 8 + gx // 8 + gy // 8 + d.di) % 13 = 0
+                    THEN NULL
+                    ELSE CAST(((gx % 8) * 3 + (gy % 8) * 5 + (gx // 8) * 13
+                               + (gy // 8) * 7 + d.di * 11) % 97 AS DOUBLE)
+               END AS v
+        FROM dates d, tiles t, px, py, consts,
+        LATERAL (SELECT
+            degrees(((t.c * (xmax_t / 2)) + ((px.px + 0.5) * (xmax_t / 16))) / mR) AS lon,
+            degrees(2 * atan(exp((((ymax_t - t.r * (ymax_t / 2))
+                                   - (py.py + 0.5) * (ymax_t / 16))) / mR)) - pi() / 2) AS lat
+        ) ll,
+        LATERAL (SELECT CAST(floor(ll.lon / 0.125) AS INT) AS gx,
+                        CAST(floor((2.0 - ll.lat) / 0.125) AS INT) AS gy) g
+        WHERE gx >= 0 AND gx < 16 AND gy >= 0 AND gy < 16
+    """
+    return f"""
+        WITH {_digest_base_cte()},
+        consts AS (SELECT 6378137.0 AS mR,
+                          6378137.0 * radians(2.0) AS xmax_t,
+                          6378137.0 * ln(tan(pi() / 4 + radians(2.0) / 2)) AS ymax_t)
+        {_digest_tail(src)}
+    """
+
+
 def _q_retile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """retile 8x8 -> 4x4 tiles (OpenEOProcesses.retile :1001-1047): same
     pixels, 4x the keys."""
@@ -1319,6 +1366,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reduce_time_mean": _q_reduce_time_mean,
         "aggregate_temporal": _q_aggregate_temporal,
         "retile": _q_retile,
+        "resample_crs": _q_resample_crs,
         "apply_kernel": _q_apply_kernel,
         "reduce_bands_ndvi": _q_reduce_bands_ndvi,
         "text_quality": _q_text_quality,
@@ -1354,6 +1402,7 @@ def oracle_sql() -> dict[str, str]:
         "reduce_time_mean": _oracle_reduce_time_mean(),
         "aggregate_temporal": _oracle_aggregate_temporal(),
         "retile": _oracle_retile(),
+        "resample_crs": _oracle_resample_crs(),
         "apply_kernel": _oracle_apply_kernel(),
         "reduce_bands_ndvi": _oracle_reduce_bands_ndvi(),
         "text_quality": _oracle_text_quality(),

@@ -9,9 +9,11 @@ per-tile region resample into the target grid -> merge fragments by new key;
 Ours: each source tile emits one fragment per overlapped target key
 (mapInPandas), then ``groupBy(target key)`` merges fragments — the classic
 explode + shuffle + merge, expressed as DataFrame ops so AQE sizes the
-shuffle. Nearest-neighbor sampling (same CRS; CRS warping would slot into the
-same fragment step). Negative/out-of-grid keys are filtered like
-filterNegativeSpatialKeys (OpenEOProcesses.scala:804-830).
+shuffle. Nearest-neighbor sampling; CRS warping (EPSG:4326 <-> EPSG:3857,
+core/proj.py) runs through the same fragment step by forward-projecting the
+source footprint and inverse-projecting target pixel centers.
+Negative/out-of-grid keys are filtered like filterNegativeSpatialKeys
+(OpenEOProcesses.scala:804-830).
 """
 
 from __future__ import annotations
@@ -30,12 +32,21 @@ from ..sources.datacube import CubeMeta, DataCube, cube_schema
 
 
 def resample_spatial(cube: DataCube, target: LayoutDefinition) -> DataCube:
-    """Regrid onto ``target`` (no-op when layouts already match)."""
+    """Regrid onto ``target`` (no-op when layouts already match). When the
+    target CRS differs, the SAME fragment step warps: the source tile extent
+    is forward-projected to find overlapped target keys, and target pixel
+    centers are inverse-projected back into source pixel space —
+    nearest-neighbor through the closed-form EPSG:4326<->3857 math in
+    core/proj.py (the reference's TileRDDReproject fork, re-expressed as
+    explode + shuffle + merge)."""
+    from ..core.proj import transform_extent, transform_fns
+
     src = cube.meta.layout
     if src == target:
         return cube  # OpenEOProcesses.scala:833-835 short-circuit
-    if src.crs != target.crs:
-        raise NotImplementedError("CRS warping not supported (same-CRS regrid only)")
+    # validate the CRS pair up front (driver-side) so unsupported pairs fail
+    # fast instead of inside executors
+    inv_fx, inv_fy = transform_fns(target.crs, src.crs)
 
     ct = cube.meta.cell_type
     n_bands = cube.meta.n_bands
@@ -52,12 +63,17 @@ def resample_spatial(cube: DataCube, target: LayoutDefinition) -> DataCube:
                 c, r = int(rec.col), int(rec.row)
                 stack = decode_tile_float(list(rec.bands), ct, shape)
                 se = src.extent_for_key(c, r)
-                # target keys overlapped by this source tile
-                for tc, tr in target.keys_for_extent(se):
+                # target keys overlapped by this source tile (footprint
+                # forward-projected into the target CRS)
+                se_t = transform_extent(se, src.crs, target.crs)
+                for tc, tr in target.keys_for_extent(se_t):
                     xs, ys = target.pixel_centers_for_key(tc, tr)
-                    # nearest-neighbor: map target centers to source pixels
-                    px = np.floor((xs - se.xmin) / src.cell_width).astype(np.int64)
-                    py = np.floor((se.ymax - ys) / src.cell_height).astype(np.int64)
+                    # nearest-neighbor: inverse-project target centers into
+                    # the source CRS, then map to source pixels (identity
+                    # fns when CRSs match — one unified code path)
+                    sx, sy = inv_fx(xs), inv_fy(ys)
+                    px = np.floor((sx - se.xmin) / src.cell_width).astype(np.int64)
+                    py = np.floor((se.ymax - sy) / src.cell_height).astype(np.int64)
                     okx = (px >= 0) & (px < shape[1])
                     oky = (py >= 0) & (py < shape[0])
                     if not okx.any() or not oky.any():

@@ -124,3 +124,71 @@ def test_apply_kernel_nodata_center_preserved(spark):
     src = _world_pixels(cube)
     res = _world_pixels(out)
     np.testing.assert_array_equal(np.isnan(src), np.isnan(res))
+
+
+# ---------------------------------------------------------------------------
+# CRS reprojection (TileRDDReproject.scala:40-419 parity via core/proj.py)
+# ---------------------------------------------------------------------------
+
+
+def test_reproject_layout_negotiation():
+    from openeo_geotrellis_extensions_spark.core.proj import (
+        EARTH_RADIUS,
+        reproject_layout,
+    )
+
+    t = reproject_layout(LAYOUT, "EPSG:3857")
+    assert t.crs == "EPSG:3857"
+    assert (t.layout_cols, t.layout_rows, t.tile_cols, t.tile_rows) == (2, 2, 8, 8)
+    assert t.extent.xmin == 0.0 and t.extent.ymin == 0.0
+    np.testing.assert_allclose(t.extent.xmax, EARTH_RADIUS * np.radians(2.0))
+
+
+def test_reproject_4326_to_3857_values_exact(spark):
+    """Warp parity: every target pixel equals the source pixel its
+    inverse-projected center lands in (nearest neighbor), and all keys stay
+    in [0, layout) (grid-alignment invariant, OpenEOProcessesSpec.scala:581-600)."""
+    from openeo_geotrellis_extensions_spark.core.proj import (
+        reproject_layout,
+        transform_fns,
+    )
+
+    cube = arithmetic_cube(spark, LAYOUT, n_bands=1, cell_type="float64")
+    target = reproject_layout(LAYOUT, "EPSG:3857")
+    out = resample_spatial(cube, target)
+
+    keys = [(r.col, r.row) for r in out.df.select("col", "row").distinct().collect()]
+    assert min(keys) >= (0, 0)
+    assert max(k[0] for k in keys) < target.layout_cols
+    assert max(k[1] for k in keys) < target.layout_rows
+
+    src_plane = _world_pixels(cube)
+    got = _world_pixels(out)
+    inv_x, inv_y = transform_fns("EPSG:3857", "EPSG:4326")
+    W = target.layout_cols * target.tile_cols
+    H = target.layout_rows * target.tile_rows
+    xs = target.extent.xmin + (np.arange(W) + 0.5) * target.cell_width
+    ys = target.extent.ymax - (np.arange(H) + 0.5) * target.cell_height
+    lon, lat = inv_x(xs), inv_y(ys)
+    gx = np.floor((lon - LAYOUT.extent.xmin) / LAYOUT.cell_width).astype(int)
+    gy = np.floor((LAYOUT.extent.ymax - lat) / LAYOUT.cell_height).astype(int)
+    expected = src_plane[np.ix_(gy, gx)]
+    np.testing.assert_allclose(got, expected, equal_nan=True)
+
+
+def test_reproject_3857_to_4326_roundtrip_keys(spark):
+    """Reverse direction drives the same fragment path."""
+    from openeo_geotrellis_extensions_spark.core.proj import reproject_layout
+
+    merc = reproject_layout(LAYOUT, "EPSG:3857")
+    cube = arithmetic_cube(spark, merc, n_bands=1, cell_type="float64")
+    out = resample_spatial(cube, reproject_layout(merc, "EPSG:4326"))
+    assert out.df.count() == cube.df.count()
+    assert out.meta.layout.crs == "EPSG:4326"
+
+
+def test_reproject_unsupported_pair_raises(spark):
+    cube = constant_cube(spark, LAYOUT)
+    bad = LayoutDefinition(Extent(0.0, 0.0, 2.0, 2.0), 2, 2, 8, 8, "EPSG:32631")
+    with pytest.raises(NotImplementedError):
+        resample_spatial(cube, bad)
