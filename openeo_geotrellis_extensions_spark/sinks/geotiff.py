@@ -1,8 +1,9 @@
-"""GeoTIFF sink — dependency-free single-strip GeoTIFF writer/reader.
+"""GeoTIFF sink — dependency-free striped/Deflate GeoTIFF writer/reader.
 
 No rasterio/GDAL exists in this environment, so the TIFF container is
-written directly (little-endian classic TIFF, one strip, chunky interleave,
-GeoTIFF georeferencing tags: ModelPixelScale + ModelTiepoint + a minimal
+written directly (little-endian classic TIFF, striped + Deflate-compressed
+by default like the reference writer, chunky interleave, GeoTIFF
+georeferencing tags: ModelPixelScale + ModelTiepoint + a minimal
 GeoKeyDirectory for EPSG geographic CRS, GDAL_NODATA ascii tag).
 
 Reference writers mirrored:
@@ -43,17 +44,30 @@ def write_geotiff(
     extent: Extent,
     nodata: float | None = None,
     epsg: int = 4326,
+    compression: str = "deflate",
+    rows_per_strip: int = 256,
 ) -> None:
-    """bands: (n_bands, h, w) ndarray (single dtype). Single-strip,
-    uncompressed, chunky (pixel-interleaved)."""
+    """bands: (n_bands, h, w) ndarray (single dtype). Chunky
+    (pixel-interleaved), striped, Deflate-compressed by default — matching
+    the reference's default writer options (geotiff/package.scala:133
+    DeflateCompression). ``compression``: 'deflate' | 'none'."""
+    import zlib
+
     if bands.ndim == 2:
         bands = bands[None]
     nb, h, w = bands.shape
     dt = bands.dtype
     bits = dt.itemsize * 8
     fmt = _SAMPLE_FORMAT[dt.kind]
-    # chunky interleave: (h, w, nb)
-    pixel_data = np.ascontiguousarray(np.transpose(bands, (1, 2, 0))).tobytes()
+    # chunky interleave: (h, w, nb), split into strips of rows_per_strip rows
+    chunky = np.ascontiguousarray(np.transpose(bands, (1, 2, 0)))
+    rps = min(rows_per_strip, h)
+    n_strips = (h + rps - 1) // rps
+    strips = []
+    for s in range(n_strips):
+        raw = chunky[s * rps : (s + 1) * rps].tobytes()
+        strips.append(zlib.compress(raw, 6) if compression == "deflate" else raw)
+    comp_tag = 8 if compression == "deflate" else 1
 
     sx = extent.width / w
     sy = extent.height / h
@@ -72,16 +86,26 @@ def write_geotiff(
          else f"{nodata}") + "\x00"
     ).encode() if nodata is not None and not (isinstance(nodata, float) and np.isnan(nodata)) else (b"nan\x00" if nodata is not None else None)
 
+    strip_counts = [len(s) for s in strips]
+    # placeholder offsets with the FINAL byte width so layout math is stable
+    off_placeholder = (
+        struct.pack(f"<{n_strips}I", *([0] * n_strips)) if n_strips > 1 else 0
+    )
+    counts_val = (
+        struct.pack(f"<{n_strips}I", *strip_counts)
+        if n_strips > 1
+        else strip_counts[0]
+    )
     entries: list[tuple[int, int, int, bytes | int]] = [
         (256, _TYPE_LONG, 1, w),
         (257, _TYPE_LONG, 1, h),
         (258, _TYPE_SHORT, nb, struct.pack(f"<{nb}H", *([bits] * nb))),
-        (259, _TYPE_SHORT, 1, 1),       # no compression
+        (259, _TYPE_SHORT, 1, comp_tag),
         (262, _TYPE_SHORT, 1, 1),       # BlackIsZero
-        (273, _TYPE_LONG, 1, None),     # StripOffsets (patched)
+        (273, _TYPE_LONG, n_strips, off_placeholder),  # StripOffsets (patched)
         (277, _TYPE_SHORT, 1, nb),
-        (278, _TYPE_LONG, 1, h),
-        (279, _TYPE_LONG, 1, len(pixel_data)),
+        (278, _TYPE_LONG, 1, rps),
+        (279, _TYPE_LONG, n_strips, counts_val),
         (284, _TYPE_SHORT, 1, 1),       # chunky
         (339, _TYPE_SHORT, nb, struct.pack(f"<{nb}H", *([fmt] * nb))),
         (33550, _TYPE_DOUBLE, 3, pixel_scale),
@@ -100,16 +124,29 @@ def write_geotiff(
     ifd = struct.pack("<H", n)
     # first pass to place out-of-line values
     placed = []
+    extra_pos = {}
     for tag, typ, cnt, val in entries:
         if isinstance(val, bytes) and len(val) > 4:
+            extra_pos[tag] = len(extra)
             placed.append((tag, typ, cnt, extra_off + len(extra)))
             extra += val
         else:
             placed.append((tag, typ, cnt, val))
     data_off = extra_off + len(extra)
+    offs = []
+    pos = data_off
+    for c in strip_counts:
+        offs.append(pos)
+        pos += c
+    extra = bytearray(extra)
+    if n_strips > 1:
+        # patch the real strip offsets into the out-of-line array
+        extra[extra_pos[273] : extra_pos[273] + 4 * n_strips] = struct.pack(
+            f"<{n_strips}I", *offs
+        )
     for tag, typ, cnt, val in placed:
-        if tag == 273:
-            val = data_off
+        if tag == 273 and n_strips == 1:
+            val = offs[0]
         if isinstance(val, bytes):
             ifd += struct.pack("<HHI4s", tag, typ, cnt, val.ljust(4, b"\x00"))
         else:
@@ -117,7 +154,7 @@ def write_geotiff(
     ifd += struct.pack("<I", 0)
 
     with open(path, "wb") as f:
-        f.write(header + ifd + extra + pixel_data)
+        f.write(header + ifd + bytes(extra) + b"".join(strips))
 
 
 def read_geotiff(path: str) -> tuple[np.ndarray, Extent, float | None]:
@@ -132,7 +169,7 @@ def read_geotiff(path: str) -> tuple[np.ndarray, Extent, float | None]:
         tag, typ, cnt, raw = struct.unpack_from("<HHI4s", buf, ifd_off + 2 + i * 12)
         tags[tag] = (typ, cnt, raw)
 
-    def val(tag, idx=0):
+    def vals(tag):
         typ, cnt, raw = tags[tag]
         size = {2: 1, 3: 2, 4: 4, 12: 8}[typ]
         total = size * cnt
@@ -140,17 +177,31 @@ def read_geotiff(path: str) -> tuple[np.ndarray, Extent, float | None]:
         fmt = {2: "s", 3: "H", 4: "I", 12: "d"}[typ]
         if typ == 2:
             return data.rstrip(b"\x00").decode()
-        return struct.unpack(f"<{cnt}{fmt}", data)[idx]
+        return struct.unpack(f"<{cnt}{fmt}", data)
+
+    def val(tag, idx=0):
+        v = vals(tag)
+        return v if isinstance(v, str) else v[idx]
 
     w, h = val(256), val(257)
     nb = val(277)
     bits = val(258)
     fmt = val(339)
+    comp = val(259) if 259 in tags else 1
     kind = {1: "u", 2: "i", 3: "f"}[fmt]
     dt = np.dtype(f"<{kind}{bits // 8}")
-    off = val(273)
-    count = val(279)
-    arr = np.frombuffer(buf[off : off + count], dtype=dt).reshape(h, w, nb)
+    offs = vals(273)
+    counts = vals(279)
+    raw = b"".join(buf[o : o + c] for o, c in zip(offs, counts))
+    if comp == 8:
+        import zlib
+
+        raw = b"".join(
+            zlib.decompress(buf[o : o + c]) for o, c in zip(offs, counts)
+        )
+    elif comp != 1:
+        raise ValueError(f"unsupported TIFF compression {comp}")
+    arr = np.frombuffer(raw, dtype=dt).reshape(h, w, nb)
     sx, sy = val(33550, 0), val(33550, 1)
     ox, oy = val(33922, 3), val(33922, 4)
     extent = Extent(ox, oy - sy * h, ox + sx * w, oy)

@@ -1,14 +1,17 @@
-"""NetCDF-shaped sample sink.
+"""NetCDF sinks + source.
 
 Reference: netcdf/NetCDFRDDWriter.scala:311-453 (saveSamples /
 groupRDDBySample): group cube tiles per polygon sample, assemble a
-(t, bands, y, x) array per sample, write one file per sample.
+(t, bands, y, x) array per sample, write one file per sample;
+:74-110 (saveSingleNetCDF) for the single stitched file; and
+layers/NetCDFCollection.scala:118 for reading a netCDF back into a cube.
 
-No netCDF library exists in this container, so the Spark-side grouping and
-array assembly are REAL (distributed applyInPandas, one file per sample
-written by executors) while the container format is ``.npz`` (numpy, with
-dims/coords arrays mirroring CF conventions). ``write_netcdf`` is the seam
-where netCDF4/xarray would plug in.
+The container is a real classic-format (CDF-1) netCDF file written by the
+dependency-free writer in sinks/netcdf_format.py (CF-style coordinate
+variables x/y/t, per-band data variables, _FillValue attributes). Executors
+write sample files distributed (applyInPandas per feature); the single-file
+writer assembles driver-side like the reference's shuffle-to-driver
+saveSingleNetCDF and guards on size.
 """
 
 from __future__ import annotations
@@ -19,20 +22,126 @@ import numpy as np
 import pandas as pd
 
 from ..core.celltype import parse_cell_type
-from ..core.tiles import decode_tile_float
+from ..core.tiles import decode_tile_float, encode_band
 from ..operators.zonal import feature_tile_keys
 from ..sources.datacube import DataCube
+from .netcdf_format import NcVar, read_cdf1, write_cdf1
+
+#: refuse driver-side assembly beyond this many pixels (single-file writers
+#: mirror the reference's shuffle-to-driver design; bigger cubes should use
+#: save_samples or parquet)
+MAX_SINGLE_FILE_PIXELS = 64_000_000
+
+_EPOCH = np.datetime64("1970-01-01T00:00:00")
 
 
-def write_netcdf(path: str, data: np.ndarray, coords: dict) -> str:
-    raise NotImplementedError(
-        "netCDF4/xarray unavailable in this environment; npz fallback is used"
+def _time_seconds(times) -> np.ndarray:
+    return np.array(
+        [(np.datetime64(t) - _EPOCH) / np.timedelta64(1, "s") for t in times],
+        dtype=np.float64,
+    )
+
+
+def write_netcdf(
+    path: str,
+    data: np.ndarray,
+    coords: dict,
+    band_names: tuple[str, ...] | None = None,
+    global_atts: dict | None = None,
+) -> str:
+    """Write a (t, band, y, x) float array as a CDF-1 netCDF file with CF
+    coordinate variables. ``coords`` needs 'x', 'y' (1-D arrays of pixel
+    centers) and 't' (list of timestamps); NaN encodes as _FillValue."""
+    nt, nb, ny, nx = data.shape
+    band_names = band_names or tuple(f"band{b}" for b in range(nb))
+    dims = [("t", nt), ("y", ny), ("x", nx)]
+    fill = np.float32(np.finfo(np.float32).max)
+    variables = [
+        NcVar("t", "double", ["t"], _time_seconds(coords["t"]),
+              {"units": "seconds since 1970-01-01 00:00:00", "standard_name": "time"}),
+        NcVar("y", "double", ["y"], np.asarray(coords["y"], dtype=np.float64),
+              {"standard_name": "projection_y_coordinate"}),
+        NcVar("x", "double", ["x"], np.asarray(coords["x"], dtype=np.float64),
+              {"standard_name": "projection_x_coordinate"}),
+    ]
+    for b, name in enumerate(band_names):
+        plane = data[:, b].astype(np.float32)
+        plane = np.where(np.isnan(plane), fill, plane)
+        variables.append(
+            NcVar(name, "float", ["t", "y", "x"], plane, {"_FillValue": float(fill)})
+        )
+    atts = {"Conventions": "CF-1.8", **(global_atts or {})}
+    return write_cdf1(path, dims, variables, atts)
+
+
+def read_netcdf(path: str) -> tuple[np.ndarray, dict]:
+    """Inverse of :func:`write_netcdf`: -> ((t, band, y, x) float64 array
+    with NaN fill, coords {'t': seconds, 'x': ..., 'y': ..., 'bands': [...]})."""
+    nc = read_cdf1(path)
+    coord_names = {"t", "x", "y"}
+    band_names = [n for n in nc["vars"] if n not in coord_names]
+    t = nc["vars"]["t"]["data"]
+    y = nc["vars"]["y"]["data"]
+    x = nc["vars"]["x"]["data"]
+    planes = []
+    for n in band_names:
+        v = nc["vars"][n]
+        plane = v["data"].astype(np.float64)
+        fill = v["atts"].get("_FillValue")
+        if fill is not None:
+            plane = np.where(plane == np.float64(np.float32(fill)), np.nan, plane)
+        planes.append(plane)
+    data = np.stack(planes, axis=1)  # (t, band, y, x)
+    return data, {"t": t, "x": x, "y": y, "bands": band_names}
+
+
+def save_netcdf(cube: DataCube, path: str) -> str:
+    """Single stitched netCDF for the whole cube (saveSingleNetCDF analog,
+    NetCDFRDDWriter.scala:74-110): tiles shuffle to the driver, assembled
+    into one (t, band, y, x) array. Raises beyond MAX_SINGLE_FILE_PIXELS —
+    use save_samples / parquet for bigger cubes."""
+    ld = cube.meta.layout
+    ct = parse_cell_type(cube.meta.cell_type)
+    nb = cube.meta.n_bands
+    th, tw = ld.tile_rows, ld.tile_cols
+    rows = cube.df.collect()
+    if not rows:
+        raise ValueError("empty cube")
+    temporal = cube.meta.temporal
+    times = sorted({r.time for r in rows}) if temporal else [None]
+    cols_ = sorted({r.col for r in rows})
+    rows_ = sorted({r.row for r in rows})
+    ny, nx = len(rows_) * th, len(cols_) * tw
+    if len(times) * nb * ny * nx > MAX_SINGLE_FILE_PIXELS:
+        raise ValueError(
+            "cube too large for single-file netCDF driver assembly; "
+            "use save_samples (distributed, one file per feature)"
+        )
+    tpos = {t: i for i, t in enumerate(times)}
+    cpos = {c: i for i, c in enumerate(cols_)}
+    rpos = {r: i for i, r in enumerate(rows_)}
+    data = np.full((len(times), nb, ny, nx), np.nan)
+    for rec in rows:
+        stack = decode_tile_float(list(rec.bands), ct, (th, tw))
+        ti = tpos[rec.time] if temporal else 0
+        ro, co = rpos[rec.row] * th, cpos[rec.col] * tw
+        data[ti, :, ro : ro + th, co : co + tw] = stack
+    x0 = ld.extent.xmin + min(cols_) * ld.tile_width
+    y1 = ld.extent.ymax - min(rows_) * ld.tile_height
+    coords = {
+        "t": [t if temporal else "1970-01-01" for t in times],
+        "x": x0 + (np.arange(nx) + 0.5) * ld.cell_width,
+        "y": y1 - (np.arange(ny) + 0.5) * ld.cell_height,
+    }
+    return write_netcdf(
+        path, data, coords, tuple(cube.meta.band_names), {"crs": ld.crs}
     )
 
 
 def save_samples(cube: DataCube, features, out_dir: str) -> pd.DataFrame:
-    """One (t, band, y, x) array file per feature (sample), assembled and
-    written by executors. Returns index (feature_index, path, n_t, shape)."""
+    """One (t, band, y, x) netCDF file per feature (sample), assembled and
+    written BY EXECUTORS (NetCDFRDDWriter.saveSamples semantics). Returns
+    index (feature_index, path, n_t, shape)."""
     os.makedirs(out_dir, exist_ok=True)
     ld = cube.meta.layout
     ct = parse_cell_type(cube.meta.cell_type)
@@ -40,6 +149,7 @@ def save_samples(cube: DataCube, features, out_dir: str) -> pd.DataFrame:
     th, tw = ld.tile_rows, ld.tile_cols
     band_names = tuple(cube.meta.band_names)  # plain tuple: the closure must
     # not capture `cube` (its df holds the SparkContext, unpicklable)
+    crs = ld.crs
 
     from pyspark.sql import functions as F
 
@@ -54,22 +164,27 @@ def save_samples(cube: DataCube, features, out_dir: str) -> pd.DataFrame:
         cpos = {c: i for i, c in enumerate(cols)}
         rpos = {r: i for i, r in enumerate(rows)}
         tpos = {t: i for i, t in enumerate(times)}
-        data = np.full((len(times), nb, len(rows) * th, len(cols) * tw), np.nan)
+        ny, nx = len(rows) * th, len(cols) * tw
+        data = np.full((len(times), nb, ny, nx), np.nan)
         for rec in pdf.itertuples(index=False):
             stack = decode_tile_float(list(rec.bands), ct, (th, tw))
             ti = tpos[rec.time]
             ro = rpos[rec.row] * th
             co = cpos[rec.col] * tw
             data[ti, :, ro : ro + th, co : co + tw] = stack
-        path = os.path.join(out_dir, f"sample_{fi}.npz")
-        np.savez_compressed(
+        x0 = ld.extent.xmin + min(cols) * ld.tile_width
+        y1 = ld.extent.ymax - min(rows) * ld.tile_height
+        path = os.path.join(out_dir, f"sample_{fi}.nc")
+        write_netcdf(
             path,
-            data=data,
-            t=np.array([str(t) for t in times]),
-            bands=np.array(band_names),
-            x0=ld.extent.xmin + min(cols) * ld.tile_width,
-            y1=ld.extent.ymax - min(rows) * ld.tile_height,
-            cell_size=np.array([ld.cell_width, ld.cell_height]),
+            data,
+            {
+                "t": list(times),
+                "x": x0 + (np.arange(nx) + 0.5) * ld.cell_width,
+                "y": y1 - (np.arange(ny) + 0.5) * ld.cell_height,
+            },
+            band_names,
+            {"crs": crs, "feature_index": fi},
         )
         return pd.DataFrame(
             [(fi, path, len(times), f"{data.shape}")],
@@ -80,3 +195,39 @@ def save_samples(cube: DataCube, features, out_dir: str) -> pd.DataFrame:
         write_sample, schema="feature_index int, path string, n_t int, shape string"
     )
     return idx.toPandas()
+
+
+def load_netcdf(spark, path: str, layout, dates: list | None = None) -> DataCube:
+    """NetCDF collection source (layers/NetCDFCollection.scala:118 analog):
+    read a (t, band, y, x) netCDF written by this module back into a cube on
+    ``layout``. The file is read once driver-side (netCDF is not splittable
+    without the HDF5 runtime), then tiles distribute via createDataFrame —
+    suitable for assembled samples; massive archives should land in parquet."""
+    from ..sources.datacube import CubeMeta, cube_schema
+
+    data, coords = read_netcdf(path)
+    ld = layout
+    ct = parse_cell_type("float32")
+    th, tw = ld.tile_rows, ld.tile_cols
+    nt, nb, ny, nx = data.shape
+    if ny != ld.layout_rows * th or nx != ld.layout_cols * tw:
+        raise ValueError("layout does not match netCDF grid shape")
+    times = (
+        dates
+        if dates is not None
+        else [str(np.datetime64(int(s), "s")) for s in coords["t"]]
+    )
+    rows = []
+    for ti in range(nt):
+        for r in range(ld.layout_rows):
+            for c in range(ld.layout_cols):
+                tile = data[ti, :, r * th : (r + 1) * th, c * tw : (c + 1) * tw]
+                if np.isnan(tile).all():
+                    continue
+                bands = [
+                    encode_band(ct.from_float_nan(tile[b]), ct) for b in range(nb)
+                ]
+                rows.append((pd.Timestamp(times[ti]).to_pydatetime(), c, r, bands))
+    df = spark.createDataFrame(rows, schema=cube_schema(True))
+    names = tuple(coords["bands"])
+    return DataCube(df, CubeMeta(ld, "float32", names, temporal=True))

@@ -116,7 +116,11 @@ def test_timeseries_csv_reference_header(spark, tmp_path):
     assert first[3] == ""  # nodata band -> empty cell
 
 
-def test_save_samples_npz(spark, tmp_path):
+def test_save_samples_netcdf(spark, tmp_path):
+    """Samples sink emits real classic-netCDF (CDF-1) files per feature
+    (NetCDFRDDWriter.saveSamples parity), written by executors."""
+    from openeo_geotrellis_extensions_spark.sinks.netcdf import read_netcdf
+
     cube = arithmetic_cube(spark, LAYOUT, n_bands=2, cell_type="int32")
     feats = spark.createDataFrame(
         [(0, json.dumps({"type": "Polygon", "coordinates":
@@ -127,12 +131,50 @@ def test_save_samples_npz(spark, tmp_path):
     )
     idx = save_samples(cube, feats, str(tmp_path / "samples"))
     assert len(idx) == 2
-    a = np.load(idx[idx.feature_index == 0].iloc[0]["path"])
-    assert a["data"].shape == (4, 2, 8, 8)  # 4 dates, 2 bands, 1 tile
-    b = np.load(idx[idx.feature_index == 1].iloc[0]["path"])
-    assert b["data"].shape == (4, 2, 16, 16)  # 2x2 tiles
-    with pytest.raises(NotImplementedError):
-        write_netcdf("x.nc", a["data"], {})
+    pa = idx[idx.feature_index == 0].iloc[0]["path"]
+    assert pa.endswith(".nc") and open(pa, "rb").read(4) == b"CDF\x01"
+    a, coords_a = read_netcdf(pa)
+    assert a.shape == (4, 2, 8, 8)  # 4 dates, 2 bands, 1 tile
+    assert coords_a["bands"] == ["band0", "band1"]
+    b, _ = read_netcdf(idx[idx.feature_index == 1].iloc[0]["path"])
+    assert b.shape == (4, 2, 16, 16)  # 2x2 tiles
+
+
+def test_netcdf_roundtrip_and_cube_reload(spark, tmp_path):
+    """write_netcdf/read_netcdf round-trip NaN + values exactly (float32);
+    save_netcdf -> load_netcdf reloads the SAME cube pixel plane (the
+    NetCDFCollection source seam, layers/NetCDFCollection.scala:118)."""
+    from openeo_geotrellis_extensions_spark.sinks.netcdf import (
+        load_netcdf,
+        read_netcdf,
+        save_netcdf,
+        write_netcdf,
+    )
+
+    rng = np.random.RandomState(7)
+    data = rng.rand(2, 1, 8, 8).astype(np.float32).astype(np.float64) * 50
+    data = np.float32(data).astype(np.float64)
+    data[0, 0, 0, :3] = np.nan
+    p = str(tmp_path / "rt.nc")
+    write_netcdf(p, data, {"t": ["2017-01-01", "2017-01-15"],
+                           "x": np.arange(8) + 0.5, "y": 8 - np.arange(8) - 0.5})
+    back, coords = read_netcdf(p)
+    np.testing.assert_array_equal(back, data)
+    assert coords["t"][0] == np.datetime64("2017-01-01") .astype("datetime64[s]").astype(float)
+
+    cube = arithmetic_cube(spark, LAYOUT, n_bands=2, cell_type="int32")
+    p2 = str(tmp_path / "cube.nc")
+    save_netcdf(cube, p2)
+    re = load_netcdf(spark, p2, LAYOUT)
+    from openeo_geotrellis_extensions_spark.core.tiles import decode_tile_float
+
+    want = {}
+    for r in cube.df.collect():
+        stack = decode_tile_float(list(r.bands), cube.meta.cell_type, (8, 8))
+        want[(str(r.time), r.col, r.row)] = stack
+    for r in re.df.collect():
+        got = decode_tile_float(list(r.bands), re.meta.cell_type, (8, 8))
+        np.testing.assert_array_equal(got, want[(str(r.time), r.col, r.row)])
 
 
 def test_save_geojson(spark, tmp_path):
@@ -145,3 +187,31 @@ def test_save_geojson(spark, tmp_path):
     assert fc["type"] == "FeatureCollection"
     assert fc["features"][0]["geometry"]["type"] == "Point"
     assert fc["features"][0]["properties"]["mean"] == 12.5
+
+
+def test_geotiff_deflate_multistrip_roundtrip(tmp_path):
+    """Deflate-compressed, multi-strip tiff (reference default,
+    geotiff/package.scala:133) round-trips exactly and is smaller than
+    uncompressed for repetitive data."""
+    from openeo_geotrellis_extensions_spark.core.grid import Extent
+    from openeo_geotrellis_extensions_spark.sinks.geotiff import (
+        read_geotiff,
+        write_geotiff,
+    )
+
+    rng = np.random.RandomState(3)
+    bands = (rng.rand(2, 100, 40) * 50).astype(np.int32)
+    bands[:, 40:] = 7  # compressible block
+    ext = Extent(0.0, 0.0, 4.0, 10.0)
+    pc = str(tmp_path / "c.tif")
+    pu = str(tmp_path / "u.tif")
+    write_geotiff(pc, bands, ext, nodata=255, rows_per_strip=32)  # 4 strips
+    write_geotiff(pu, bands, ext, nodata=255, compression="none", rows_per_strip=32)
+    back, ext2, nd = read_geotiff(pc)
+    np.testing.assert_array_equal(back, bands)
+    assert ext2 == ext and nd == 255
+    back_u, _, _ = read_geotiff(pu)
+    np.testing.assert_array_equal(back_u, bands)
+    import os as _os
+
+    assert _os.path.getsize(pc) < _os.path.getsize(pu)
