@@ -1110,6 +1110,65 @@ def _oracle_media_features() -> str:
     """
 
 
+#: tiny deterministic CatBoost-format model over the first 4 embedding dims
+_CATBOOST_MODEL = {
+    "oblivious_trees": [
+        {
+            "splits": [
+                {"float_feature_index": 0, "border": 0.1},
+                {"float_feature_index": 2, "border": -0.2},
+            ],
+            "leaf_values": [0.1, -0.2, 0.3, 0.7],
+        },
+        {
+            "splits": [{"float_feature_index": 1, "border": 0.05}],
+            "leaf_values": [-1.0, 1.5],
+        },
+        {
+            "splits": [
+                {"float_feature_index": 3, "border": 0.0},
+                {"float_feature_index": 0, "border": -0.3},
+            ],
+            "leaf_values": [0.05, -0.4, 0.9, 0.2],
+        },
+    ],
+    "scale_and_bias": [2.0, [0.25]],
+}
+
+
+def _q_catboost_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """predict_catboost without the runtime: broadcast numpy oblivious trees
+    from the public JSON dump format, evaluated in an Arrow pandas UDF; the
+    oracle re-evaluates the same trees as CASE expressions."""
+    from openeo_geotrellis_extensions_spark.pipeline.ml import predict_catboost
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = predict_catboost(emb, _CATBOOST_MODEL)
+    return out.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.round("prediction", 6).alias("prediction"),
+    )
+
+
+def _oracle_catboost_predict() -> str:
+    tree_exprs = []
+    for t in _CATBOOST_MODEL["oblivious_trees"]:
+        bits = " + ".join(
+            f"(CASE WHEN e[{s['float_feature_index'] + 1}] > {s['border']} "
+            f"THEN {1 << d} ELSE 0 END)"
+            for d, s in enumerate(t["splits"])
+        )
+        leaves = ", ".join(repr(v) for v in t["leaf_values"])
+        tree_exprs.append(f"list_extract([{leaves}]::DOUBLE[], 1 + ({bits}))")
+    scale, bias = _CATBOOST_MODEL["scale_and_bias"]
+    raw = " + ".join(tree_exprs)
+    return f"""
+        SELECT vec_id,
+               ROUND(CAST({scale} AS DOUBLE) * ({raw}) + CAST({bias[0]} AS DOUBLE), 6) AS prediction
+        FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+    """
+
+
 def _q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN (KMeans coarse lists + probe + exact rerank; rows-only driver
     check — recall floor vs brute force asserted in pytest)."""
@@ -1381,6 +1440,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": _q_media_features,
         "lsh_ann": _q_lsh_ann,
         "ivf_ann": _q_ivf_ann,
+        "catboost_predict": _q_catboost_predict,
         "load_collection": _q_load_collection,
         "rasterize": _q_rasterize,
         "pyramid_zoom_out": _q_pyramid,
@@ -1416,6 +1476,7 @@ def oracle_sql() -> dict[str, str]:
         "geo_knn": _oracle_geo_knn(),
         "media_features": _oracle_media_features(),
         "lsh_ann": _oracle_lsh_ann(),
+        "catboost_predict": _oracle_catboost_predict(),
         # ivf_ann: intentionally no oracle (KMeans training is not
         # SQL-expressible; rows-only check + recall floor in pytest)
         "load_collection": _oracle_load_collection(),

@@ -8,8 +8,9 @@ in the driver stack.
 Ours uses pyspark.ml natively (the idiomatic replacement for the reference's
 RDD-based mllib): train on a feature-vector DataFrame, broadcast the fitted
 model's trees as plain numpy arrays, and run inference inside pandas UDFs so
-per-pixel prediction stays vectorized. CatBoost has no runtime here — seam
-stubbed.
+per-pixel prediction stays vectorized. CatBoost inference needs no runtime:
+the public JSON model dump parses into broadcast numpy oblivious trees
+evaluated vectorized in a pandas UDF.
 """
 
 from __future__ import annotations
@@ -70,7 +71,69 @@ def predict_probabilities(
     ).drop("features", "rawPrediction", "probability")
 
 
-def predict_catboost(*args, **kwargs):
-    """Seam: CatBoost runtime is not available in this environment
-    (reference: OpenEOProcessScriptBuilder.scala:1212)."""
-    raise NotImplementedError("catboost runtime unavailable in this environment")
+def parse_catboost_json(model) -> dict:
+    """Parse a CatBoost JSON model dump (the public ``save_model(...,
+    format='json')`` layout) into plain numpy arrays for broadcast:
+    oblivious trees are (feature_idx[depth], border[depth],
+    leaf_values[2^depth]) triples plus scale/bias. No CatBoost runtime
+    needed — oblivious trees evaluate with pure vectorized comparisons."""
+    import json
+
+    if isinstance(model, str):
+        with open(model) as f:
+            model = json.load(f)
+    trees = []
+    for t in model["oblivious_trees"]:
+        splits = t["splits"]
+        feats = np.array([s["float_feature_index"] for s in splits], dtype=np.int64)
+        borders = np.array([s["border"] for s in splits], dtype=np.float64)
+        leaves = np.asarray(t["leaf_values"], dtype=np.float64)
+        if leaves.size != 2 ** len(splits):
+            raise ValueError("leaf_values size != 2^depth (multiclass unsupported)")
+        trees.append((feats, borders, leaves))
+    sb = model.get("scale_and_bias", [1.0, [0.0]])
+    bias = sb[1][0] if isinstance(sb[1], list) else sb[1]
+    return {"trees": trees, "scale": float(sb[0]), "bias": float(bias)}
+
+
+def eval_catboost(parsed: dict, X: np.ndarray) -> np.ndarray:
+    """Vectorized oblivious-tree evaluation: leaf index for tree t is
+    sum_d (x[f_d] > border_d) << d; raw prediction = scale * sum_t leaf + bias.
+    (CatBoost convention: feature value strictly greater than border takes
+    the '1' branch.)"""
+    raw = np.zeros(X.shape[0], dtype=np.float64)
+    for feats, borders, leaves in parsed["trees"]:
+        idx = np.zeros(X.shape[0], dtype=np.int64)
+        for d in range(len(feats)):
+            idx |= (X[:, feats[d]] > borders[d]).astype(np.int64) << d
+        raw += leaves[idx]
+    return parsed["scale"] * raw + parsed["bias"]
+
+
+def predict_catboost(
+    df: DataFrame,
+    model,
+    feature_col: str = "embedding",
+    prediction_col: str = "prediction",
+    output: str = "raw",
+) -> DataFrame:
+    """openEO predict_catboost (OpenEOProcessScriptBuilder.scala:1212)
+    without the CatBoost runtime: the JSON model dump parses into broadcast
+    numpy oblivious trees evaluated in an Arrow pandas UDF.
+    ``output``: 'raw' (regression / link) or 'probability' (sigmoid)."""
+    parsed = parse_catboost_json(model)
+    sc = df.sparkSession.sparkContext
+    b = sc.broadcast(parsed)
+    sigmoid = output == "probability"
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _predict(v: pd.Series) -> pd.Series:
+        X = np.stack(v.to_numpy()).astype(np.float64)
+        raw = eval_catboost(b.value, X)
+        if sigmoid:
+            raw = 1.0 / (1.0 + np.exp(-raw))
+        return pd.Series(raw)
+
+    return df.withColumn(prediction_col, _predict(F.col(feature_col)))

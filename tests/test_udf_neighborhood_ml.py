@@ -138,5 +138,52 @@ def test_random_forest_train_predict(spark):
     probs = predict_probabilities(emb, model)
     first = probs.limit(1).collect()[0]
     assert abs(sum(first.probabilities) - 1.0) < 1e-6
-    with pytest.raises(NotImplementedError):
-        predict_catboost()
+
+
+def test_predict_catboost_oblivious_trees(spark):
+    """CatBoost JSON-dump evaluation without the runtime: a hand-built
+    2-tree oblivious model checked against per-row manual evaluation,
+    raw and sigmoid outputs, Arrow-vectorized plan."""
+    from openeo_geotrellis_extensions_spark.pipeline.ml import (
+        eval_catboost,
+        parse_catboost_json,
+        predict_catboost,
+    )
+
+    model = {
+        "oblivious_trees": [
+            {
+                "splits": [
+                    {"float_feature_index": 0, "border": 0.5},
+                    {"float_feature_index": 2, "border": -1.0},
+                ],
+                "leaf_values": [0.1, -0.2, 0.3, 0.7],
+            },
+            {
+                "splits": [{"float_feature_index": 1, "border": 2.0}],
+                "leaf_values": [-1.0, 1.5],
+            },
+        ],
+        "scale_and_bias": [2.0, [0.25]],
+    }
+    rows = [
+        (0, [0.0, 0.0, 0.0]),   # t1: f0>0.5 F, f2>-1 T -> idx 2 -> 0.3 ; t2: idx0 -> -1.0
+        (1, [1.0, 3.0, -2.0]),  # t1: T, F -> idx 1 -> -0.2 ; t2: T -> 1.5
+        (2, [0.6, 2.5, 5.0]),   # t1: T, T -> idx 3 -> 0.7 ; t2: T -> 1.5
+    ]
+    want = {0: 2.0 * (0.3 - 1.0) + 0.25,
+            1: 2.0 * (-0.2 + 1.5) + 0.25,
+            2: 2.0 * (0.7 + 1.5) + 0.25}
+    df = spark.createDataFrame(rows, ["id", "embedding"])
+    got = {r.id: r.prediction for r in predict_catboost(df, model).collect()}
+    for k, v in want.items():
+        assert abs(got[k] - v) < 1e-12, (k, got[k], v)
+    prob = {r.id: r.prediction
+            for r in predict_catboost(df, model, output="probability").collect()}
+    for k, v in want.items():
+        assert abs(prob[k] - 1.0 / (1.0 + np.exp(-v))) < 1e-12
+    parsed = parse_catboost_json(model)
+    X = np.array([r[1] for r in rows])
+    np.testing.assert_allclose(eval_catboost(parsed, X), [want[0], want[1], want[2]])
+    plan = predict_catboost(df, model)._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan  # vectorized, not row-at-a-time
