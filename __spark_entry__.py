@@ -1273,6 +1273,18 @@ def _oracle_load_collection() -> str:
     """
 
 
+def _q_load_collection_per_product(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Load-per-product read strategy
+    (rasterRegionsToTilesLoadPerProductStrategy, FileLayerProvider.scala:555-673):
+    one open per asset, fragments shuffled and merged per key — identical
+    results to per-key, checked against the same oracle."""
+    cat = synth_catalog(spark, 64)
+    cube = load_collection(
+        cat, CATALOG_LAYOUT, CATALOG_BBOX, n_bands=2, strategy="per_product"
+    )
+    return cube_digest(cube)
+
+
 def _q_rasterize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vector -> raster burn (VectorCubeMethods analog): rect features with
     values, paint-order overlap, sparse keys -> digests."""
@@ -1442,6 +1454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_ann": _q_ivf_ann,
         "catboost_predict": _q_catboost_predict,
         "load_collection": _q_load_collection,
+        "load_collection_per_product": _q_load_collection_per_product,
         "rasterize": _q_rasterize,
         "pyramid_zoom_out": _q_pyramid,
         "dedup_groups": _q_dedup_groups,
@@ -1480,6 +1493,7 @@ def oracle_sql() -> dict[str, str]:
         # ivf_ann: intentionally no oracle (KMeans training is not
         # SQL-expressible; rows-only check + recall floor in pytest)
         "load_collection": _oracle_load_collection(),
+        "load_collection_per_product": _oracle_load_collection(),
         "rasterize": _oracle_rasterize(),
         "pyramid_zoom_out": _oracle_pyramid(),
         "dedup_groups": _oracle_dedup_groups(),

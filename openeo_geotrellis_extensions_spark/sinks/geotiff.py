@@ -292,3 +292,56 @@ def save_geotiff_tiles(
         write_group, schema="path string, date string, gcol int, grow int, n_tiles int"
     )
     return idx.toPandas()
+
+
+def save_sample_geotiffs(cube: DataCube, features, out_dir: str) -> pd.DataFrame:
+    """One GeoTIFF per (feature/polygon sample, date), stitched over the
+    feature's tile keys and written BY EXECUTORS — the saveSamples /
+    groupByFeatureAndWriteToTiff path (geotiff/package.scala:748-827).
+    Returns index (feature_index, date, path, n_tiles)."""
+    from pyspark.sql import functions as F
+
+    from ..operators.zonal import feature_tile_keys
+
+    os.makedirs(out_dir, exist_ok=True)
+    ld = cube.meta.layout
+    ct = parse_cell_type(cube.meta.cell_type)
+    nb = cube.meta.n_bands
+    th, tw = ld.tile_rows, ld.tile_cols
+    temporal = cube.meta.temporal
+
+    fkeys = F.broadcast(feature_tile_keys(features, ld))
+    joined = cube.df.join(fkeys, ["col", "row"], "inner")
+    keys = ["feature_index"] + (["time"] if temporal else [])
+
+    def write_sample(pdf: pd.DataFrame) -> pd.DataFrame:
+        fi = int(pdf["feature_index"].iloc[0])
+        date = pdf["time"].iloc[0].strftime("%Y-%m-%d") if temporal else "static"
+        cols = sorted(pdf["col"].unique())
+        rows = sorted(pdf["row"].unique())
+        full = np.full((nb, len(rows) * th, len(cols) * tw), np.nan)
+        cpos = {c: i for i, c in enumerate(cols)}
+        rpos = {r: i for i, r in enumerate(rows)}
+        for rec in pdf.itertuples(index=False):
+            stack = decode_tile_float(list(rec.bands), ct, (th, tw))
+            ro = rpos[rec.row] * th
+            co = cpos[rec.col] * tw
+            full[:, ro : ro + th, co : co + tw] = stack
+        out = np.stack([ct.from_float_nan(full[b]) for b in range(nb)])
+        x0 = ld.extent.xmin + min(cols) * ld.tile_width
+        y1 = ld.extent.ymax - min(rows) * ld.tile_height
+        ext = Extent(
+            x0, y1 - len(rows) * ld.tile_height, x0 + len(cols) * ld.tile_width, y1
+        )
+        path = os.path.join(out_dir, f"sample_{fi}_{date}.tif")
+        write_geotiff(path, out, ext, nodata=ct.nodata)
+        return pd.DataFrame(
+            [(fi, date, path, len(pdf))],
+            columns=["feature_index", "date", "path", "n_tiles"],
+        )
+
+    idx = joined.groupBy(*keys).applyInPandas(
+        write_sample,
+        schema="feature_index int, date string, path string, n_tiles int",
+    )
+    return idx.toPandas()

@@ -94,11 +94,22 @@ def load_collection(
     time_range: tuple[str, str] | None = None,
     n_bands: int = 2,
     mask_keys: DataFrame | None = None,
+    strategy: str = "per_key",
 ) -> DataCube:
     """Catalog -> datacube for a bbox/time request. Overlapping products on
     the same (date, key) resolve by LOWEST product_index filling nodata of
     earlier ones (the reference resolves by footprint distance,
-    FileLayerProvider.scala:1129-1180 — ours is deterministic paint order)."""
+    FileLayerProvider.scala:1129-1180 — ours is deterministic paint order).
+
+    ``strategy`` mirrors the reference's two read strategies:
+      - 'per_key' (rasterRegionsToTiles): group tasks per (date, key); each
+        task opens every overlapping product for that key. Best when few
+        products cover many keys each.
+      - 'per_product' (rasterRegionsToTilesLoadPerProductStrategy,
+        FileLayerProvider.scala:555-673): group tasks per (product, date) so
+        each asset is OPENED ONCE, emitting per-key fragments, then a second
+        grouped stage merges fragments per key in paint order. Best when
+        product open cost dominates (remote files, archives)."""
     # 1. catalog pushdown: bbox intersect + time range as Column predicates
     cat = catalog.where(
         (F.col("xmin") < bbox.xmax) & (F.col("xmax") > bbox.xmin)
@@ -137,9 +148,17 @@ def load_collection(
     if mask_keys is not None:
         tasks = tasks.join(mask_keys, ["col", "row"], "left_semi")
 
-    # 4. read + overlap resolve, one Arrow stage, grouped per (date, key)
+    # 4. read + overlap resolve
     ct = parse_cell_type(CATALOG_CELL_TYPE)
     size = layout.tile_cols
+
+    if strategy == "per_product":
+        df = _read_per_product(tasks, layout, n_bands)
+        df = df.where(F.expr("exists(bands, b -> length(b) > 0)"))
+        names = tuple(f"B{b}" for b in range(n_bands))
+        return DataCube(df, CubeMeta(layout, CATALOG_CELL_TYPE, names, temporal=True))
+    if strategy != "per_key":
+        raise ValueError(f"unknown read strategy {strategy!r}")
 
     def read_group(pdf: pd.DataFrame) -> pd.DataFrame:
         c = int(pdf["col"].iloc[0])
@@ -165,6 +184,60 @@ def load_collection(
     df = df.where(F.expr("exists(bands, b -> length(b) > 0)"))
     names = tuple(f"B{b}" for b in range(n_bands))
     return DataCube(df, CubeMeta(layout, CATALOG_CELL_TYPE, names, temporal=True))
+
+
+def _read_per_product(tasks: DataFrame, layout: LayoutDefinition, n_bands: int) -> DataFrame:
+    """Load-per-product read strategy: stage 1 groups by (product, date) —
+    ONE 'open' per asset, emitting a tile fragment per covered key with the
+    product index attached; stage 2 merges fragments per (date, key) in
+    paint order (lowest VALID product wins per pixel). Identical results to
+    the per-key strategy; the shuffle moves encoded fragments instead of
+    re-opening assets per key."""
+    size = layout.tile_cols
+
+    frag_schema = (
+        "time timestamp, col int, row int, product_index int, bands array<binary>"
+    )
+
+    def read_product(pdf: pd.DataFrame) -> pd.DataFrame:
+        p = int(pdf["product_index"].iloc[0])
+        date = pdf["date"].iloc[0]
+        rows = []
+        # the single 'open' of this product happens here; each key then
+        # windows into it (product_tile_values is the GDAL window-read seam)
+        for c, r in sorted({(int(c), int(r)) for c, r in zip(pdf["col"], pdf["row"])}):
+            bands = [
+                product_tile_values(p, c, r, b, size).tobytes()
+                for b in range(n_bands)
+            ]
+            rows.append((pd.Timestamp(date), c, r, p, bands))
+        return pd.DataFrame(
+            rows, columns=["time", "col", "row", "product_index", "bands"]
+        )
+
+    frags = tasks.groupBy("product_index", "date").applyInPandas(
+        read_product, schema=frag_schema
+    )
+
+    def merge_key(pdf: pd.DataFrame) -> pd.DataFrame:
+        order = pdf.sort_values("product_index")
+        bands_out = []
+        for b in range(n_bands):
+            acc = np.full((size, size), 255, dtype=np.uint8)
+            for bufs in order["bands"]:
+                tile = np.frombuffer(bufs[b], dtype=np.uint8).reshape(size, size)
+                fill = acc == 255
+                acc[fill] = tile[fill]
+            bands_out.append(acc.tobytes() if (acc != 255).any() else b"")
+        first = pdf.iloc[0]
+        return pd.DataFrame(
+            [(first["time"], int(first["col"]), int(first["row"]), bands_out)],
+            columns=["time", "col", "row", "bands"],
+        )
+
+    return frags.groupBy("time", "col", "row").applyInPandas(
+        merge_key, schema=cube_schema(True)
+    )
 
 
 def sampled_features(

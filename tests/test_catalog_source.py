@@ -132,3 +132,28 @@ def test_load_collection_no_driver_side_key_table(spark):
     cube = load_collection(cat, m.CATALOG_LAYOUT, m.CATALOG_BBOX, n_bands=1)
     plan = cube.df._jdf.queryExecution().executedPlan().toString()
     assert "LocalTableScan" not in plan
+
+
+def test_per_product_strategy_matches_per_key(spark):
+    """Both read strategies (rasterRegionsToTiles vs
+    ...LoadPerProductStrategy) must produce identical cubes."""
+    import __spark_entry__ as m
+    from openeo_geotrellis_extensions_spark.sources.catalog import (
+        load_collection,
+        synth_catalog,
+    )
+
+    cat = synth_catalog(spark, 32)
+    a = load_collection(cat, m.CATALOG_LAYOUT, m.CATALOG_BBOX, n_bands=2)
+    b = load_collection(
+        cat, m.CATALOG_LAYOUT, m.CATALOG_BBOX, n_bands=2, strategy="per_product"
+    )
+    rows_a = {
+        (str(r.time), r.col, r.row): [bytes(x) for x in r.bands]
+        for r in a.df.collect()
+    }
+    rows_b = {
+        (str(r.time), r.col, r.row): [bytes(x) for x in r.bands]
+        for r in b.df.collect()
+    }
+    assert rows_a == rows_b and rows_a

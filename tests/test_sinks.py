@@ -215,3 +215,25 @@ def test_geotiff_deflate_multistrip_roundtrip(tmp_path):
     import os as _os
 
     assert _os.path.getsize(pc) < _os.path.getsize(pu)
+
+
+def test_save_sample_geotiffs(spark, tmp_path):
+    """saveSamples-as-GeoTIFF (geotiff/package.scala:748-827): one tiff per
+    (feature, date), written by executors, round-trips values + extent."""
+    from openeo_geotrellis_extensions_spark.sinks.geotiff import (
+        read_geotiff,
+        save_sample_geotiffs,
+    )
+
+    cube = arithmetic_cube(spark, LAYOUT, n_bands=2, cell_type="int32")
+    feats = spark.createDataFrame(
+        [(0, json.dumps({"type": "Polygon", "coordinates":
+                         [[[0.2, 0.2], [0.8, 0.2], [0.8, 0.8], [0.2, 0.8], [0.2, 0.2]]]}))],
+        ["feature_index", "geojson"],
+    )
+    idx = save_sample_geotiffs(cube, feats, str(tmp_path / "tiffs"))
+    assert len(idx) == len(DATES)  # one per date for the single feature
+    p = idx[idx.date == DATES[0]].iloc[0]["path"]
+    bands, ext, nd = read_geotiff(p)
+    assert bands.shape == (2, 8, 8)  # one tile covers the rect
+    assert ext == Extent(0.0, 0.0, 1.0, 1.0)  # tile (0,1): rect y<1 is row 1
