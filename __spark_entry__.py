@@ -1013,7 +1013,9 @@ _ORACLE_KNN_COSINE = """
 
 
 def _q_geo_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cell-ring kNN (north_star): 3 nearest doc geometries per query point."""
+    """Cell-ring kNN (north_star): 3 nearest doc geometries per query point.
+    res=4 sizes cells to the fixture's point density (~1 pt/cell) so most
+    queries resolve in 1-2 radius rounds; exactness is res-independent."""
     docs = synth_docs(spark, _n_docs(spark, sf_dir))
     pts = (
         extract_geometries(docs)
@@ -1028,7 +1030,7 @@ def _q_geo_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("id") * 37.0 % 300.0 - 150.0 + 0.5).alias("qx"),
         (F.col("id") * 23.0 % 160.0 - 80.0 + 0.5).alias("qy"),
     )
-    return knn_join(pts, qs, k=3, res=5).select(
+    return knn_join(pts, qs, k=3, res=4).select(
         "query_id",
         "neighbor_id",
         "dist",

@@ -166,11 +166,14 @@ def main() -> None:
     if "--scaling" in sys.argv:
         lo = int(os.environ.get("SPARK_GRAFT_SCALE_LO", "2"))
         hi = int(os.environ.get("SPARK_GRAFT_SCALE_HI", "8"))
+        xhi = int(os.environ.get("SPARK_GRAFT_SCALE_XHI", "32"))
         trials = int(os.environ.get("SPARK_GRAFT_SCALE_TRIALS", "2"))  # each trial is itself min-of-2 runs
         # compute-bound workload for the scaling claim: 5x the per-round size
-        n_docs = n_rows * int(os.environ.get("SPARK_GRAFT_SCALE_MULT", "200"))
+        scale_mult = int(os.environ.get("SPARK_GRAFT_SCALE_MULT", "200"))
+        n_docs = n_rows * scale_mult
+        levels = [lo, hi, xhi]
         results = {}
-        for cpus in (lo, hi):
+        for cpus in levels:
             runs = [_bench_subprocess(cpus, n_docs) for _ in range(trials)]
             # min-of-trials: this sandbox shows heavy run-to-run noise
             # (shared host); the minimum is the least-contended measurement
@@ -187,21 +190,31 @@ def main() -> None:
                 ],
                 "docs_per_sec": n_docs / best["spatial_join_tiling"],
             }
-        eff = (results[hi]["docs_per_sec"] / results[lo]["docs_per_sec"]) / (hi / lo)
+
+        def eff(a: int, b: int) -> float:
+            return (results[b]["docs_per_sec"] / results[a]["docs_per_sec"]) / (b / a)
+
+        eff_main = eff(lo, hi)
+        eff_sat = eff(hi, xhi)
         os.makedirs("BENCH", exist_ok=True)
         with open("BENCH/BASELINE.md", "w") as f:
             f.write(
-                "# BENCH — two-parallelism scaling evidence\n\n"
-                f"Input: interleaved table, {n_docs} docs (sf={sf}); identical "
-                f"job at local[{lo}] vs local[{hi}] in fresh interpreter+JVM "
-                "subprocesses with a warmup pass (sandbox proxy for N vs "
-                f"{hi // lo}N executors, BASELINE.json north_rule). This host "
-                f"shows heavy run-to-run noise, so each level reports the "
-                f"minimum of {trials} trials (all trials listed below).\n\n"
+                "# BENCH — multi-parallelism scaling evidence\n\n"
+                f"Input: interleaved table, {n_docs} docs "
+                f"(sf={sf}, documents rows x{scale_mult}); the identical job "
+                f"at local[{lo}] / local[{hi}] / local[{xhi}] in fresh "
+                "interpreter+JVM subprocesses with a warmup pass (sandbox "
+                "proxy for N vs 4N executors, BASELINE.json north_rule). "
+                "NOTE: the per-round driver bench (BENCH_rN.json) uses the "
+                f"SAME sf but a smaller multiplier (x{DOCS_MULTIPLIER} -> "
+                f"{n_rows * DOCS_MULTIPLIER} docs) — doc counts differ by "
+                "design; compare docs/sec, not wall seconds. This host shows "
+                f"heavy run-to-run noise, so each level reports the minimum "
+                f"of {trials} trials (all trials listed below).\n\n"
                 "| parallelism | spatial_join+tiling sec | docs/sec | zonal_stats sec |\n"
                 "|---|---|---|---|\n"
             )
-            for cpus in (lo, hi):
+            for cpus in levels:
                 t = results[cpus]["timings"]
                 f.write(
                     f"| local[{cpus}] | {t['spatial_join_tiling']:.2f} | "
@@ -209,22 +222,25 @@ def main() -> None:
                 )
             f.write(
                 f"\nScaling efficiency local[{lo}]->local[{hi}]: "
-                f"(T_{lo}/T_{hi})/{hi // lo} = **{eff:.3f}** "
+                f"(T_{lo}/T_{hi})/{hi // lo} = **{eff_main:.3f}** "
                 f"(target >= 0.8 per BASELINE.json; 1.0 = perfect linear).\n\n"
+                f"Saturation evidence local[{hi}]->local[{xhi}]: efficiency "
+                f"**{eff_sat:.3f}** — single-JVM Spark on this host stops "
+                f"scaling past ~{hi} threads (raw-CPU multiprocessing probes "
+                f"DO scale near-linearly to {xhi} procs, so the ceiling is "
+                "JVM/memory-bandwidth, not cores). That is why the N->4N "
+                f"window for the north_rule claim is {lo}->{hi}, where "
+                "hardware parallelism is genuinely available.\n\n"
                 "All trials (sec):\n\n"
             )
-            for cpus in (lo, hi):
+            for cpus in levels:
                 f.write(f"- local[{cpus}]: {json.dumps(results[cpus]['all_trials'])}\n")
-            f.write(
-                "\nNote: raw-CPU probes (multiprocessing busy loops) scale "
-                "near-linearly to 32 procs on this host, but single-JVM Spark "
-                "saturates ~2x beyond 8 threads (shared/bandwidth-limited "
-                "cores), so the N->4N window is placed at 2->8 where hardware "
-                "parallelism is genuinely available.\n"
-            )
-        print(json.dumps({"scaling_efficiency": round(eff, 3), "results": {
-            str(k): v["all_trials"] for k, v in results.items()
-        }}))
+        print(json.dumps({
+            "scaling_efficiency": round(eff_main, 3),
+            "saturation_efficiency": round(eff_sat, 3),
+            "n_docs": n_docs,
+            "results": {str(k): v["all_trials"] for k, v in results.items()},
+        }))
         return
 
     t = bench_once(CPUS, n_docs, warmup=True)

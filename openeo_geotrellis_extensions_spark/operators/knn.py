@@ -62,7 +62,7 @@ def knn_join(
         F.col(x_col).alias("px"),
         F.col(y_col).alias("py"),
         cell_for_point_col(res, F.col(x_col), F.col(y_col)),
-    )
+    ).persist()  # every radius round re-joins pts: compute its lineage once
     qs = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(qx_col).alias("qx"),
@@ -108,7 +108,11 @@ def knn_join(
             "query_id", "neighbor_id", F.round("dist", 9).alias("dist"), "rank"
         )
         results = done if results is None else results.unionByName(done)
-        remaining = remaining.join(done_ids, "query_id", "left_anti")
+        # localCheckpoint cuts the per-round anti-join lineage (query sets
+        # are small; the checkpoint doubles as the isEmpty materialization)
+        remaining = remaining.join(done_ids, "query_id", "left_anti").localCheckpoint(
+            eager=True
+        )
         if remaining.isEmpty():
             break
         radius *= 2

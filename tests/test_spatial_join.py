@@ -110,3 +110,33 @@ def test_multi_feature_point_yields_k_rows(spark, features_df, points):
     )
     # hot-cell points (4.0-4.7 E, 50.7-51.4 N) are inside features 0 AND 2
     assert multi > 0
+
+
+def test_spatial_join_non_broadcast_path_matches(spark):
+    """broadcast_features=False (the 10M-feature path where the dim no
+    longer fits a broadcast): identical results via shuffle join."""
+    import __spark_entry__ as m
+    from openeo_geotrellis_extensions_spark.operators.spatial_join import (
+        spatial_join_points,
+    )
+    from openeo_geotrellis_extensions_spark.sources.interleaved import (
+        extract_geometries,
+        synth_docs,
+    )
+    from pyspark.sql import functions as F
+
+    docs = synth_docs(spark, 500)
+    geo = extract_geometries(docs).select(
+        "doc_id",
+        "span_idx",
+        ((F.col("xmin") + F.col("xmax")) / 2).alias("rep_x"),
+        ((F.col("ymin") + F.col("ymax")) / 2).alias("rep_y"),
+    )
+    feats = m._features_df(spark, m.RECT_FEATURES)
+    a = spatial_join_points(geo, feats, res=7)
+    b = spatial_join_points(geo, feats, res=7, broadcast_features=False)
+    rows_a = sorted((r.doc_id, r.span_idx, r.feature_index) for r in a.collect())
+    rows_b = sorted((r.doc_id, r.span_idx, r.feature_index) for r in b.collect())
+    assert rows_a == rows_b and rows_a
+    plan = b._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in plan or "SortMergeJoin" in plan
