@@ -1426,6 +1426,47 @@ _ORACLE_STREAM_WINDOWED = """
 """
 
 
+def _q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): exact
+    dedup with first-seen-wins across micro-batches. Chunk files are
+    CONTIGUOUS event_id ranges, so whatever prefix batching the file source
+    picks, first-seen == global MIN(event_id) per hash — giving a clean SQL
+    oracle for a stateful stream."""
+    import tempfile
+
+    import duckdb
+
+    from openeo_geotrellis_extensions_spark.streaming.events import (
+        run_stream_append_to_memory,
+        streaming_dedup_first_seen,
+    )
+
+    d = tempfile.mkdtemp(prefix="ev_dedup_stream_")
+    con = duckdb.connect()
+    for i in range(8):
+        con.execute(
+            f"COPY (SELECT event_id, ts, user_id, event_type, value, props FROM ("
+            f"SELECT *, NTILE(8) OVER (ORDER BY event_id) AS chunk "
+            f"FROM read_parquet('{sf_dir}/events.parquet')) WHERE chunk = {i + 1}) "
+            f"TO '{d}/part_{i}.parquet' (FORMAT PARQUET)"
+        )
+    import uuid
+
+    out = run_stream_append_to_memory(
+        streaming_dedup_first_seen(spark, d),
+        name=f"q_dedup_stream_{uuid.uuid4().hex[:8]}",
+    )
+    return out.select("h", F.col("event_id").cast("long").alias("event_id"))
+
+
+_ORACLE_STREAM_DEDUP = r"""
+    SELECT md5(regexp_replace(lower(trim(props)), '\s+', ' ', 'g')) AS h,
+           MIN(event_id) AS event_id
+    FROM events
+    GROUP BY 1
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_cells": _q_doc_cells,
@@ -1461,6 +1502,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pyramid_zoom_out": _q_pyramid,
         "dedup_groups": _q_dedup_groups,
         "stream_windowed": _q_stream_windowed,
+        "stream_dedup_stateful": _q_stream_dedup,
     }
 
 
@@ -1500,4 +1542,5 @@ def oracle_sql() -> dict[str, str]:
         "pyramid_zoom_out": _oracle_pyramid(),
         "dedup_groups": _oracle_dedup_groups(),
         "stream_windowed": _ORACLE_STREAM_WINDOWED,
+        "stream_dedup_stateful": _ORACLE_STREAM_DEDUP,
     }

@@ -273,6 +273,8 @@ def connected_components(
         pairs.selectExpr("id_a AS a", "id_b AS b")
         .unionByName(pairs.selectExpr("id_b AS a", "id_a AS b"))
         .distinct()
+        .persist()  # edges re-join every round: compute the (possibly
+        # expensive LSH+verify) upstream lineage exactly once
     )
     labels = edges.selectExpr("a AS id").distinct().withColumn(
         "component", F.col("id")

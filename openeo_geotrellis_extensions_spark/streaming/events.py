@@ -79,3 +79,79 @@ def run_stream_to_memory(
     )
     q.awaitTermination(timeout_sec)
     return stream_df.sparkSession.table(name)
+
+
+def streaming_dedup_first_seen(
+    spark: SparkSession,
+    source_dir: str,
+    key_expr: str = "md5(regexp_replace(lower(trim(props)), '\\\\s+', ' '))",
+    state_timeout: str | None = None,
+) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): emit each event
+    whose content hash was NOT seen in any earlier micro-batch — streaming
+    exact dedup with first-seen-wins semantics, the incremental counterpart
+    of pipeline.dedup.dedup_exact. State per content hash stores the first
+    event_id; duplicates within AND across micro-batches are dropped.
+    Grouping on the hash makes state access one shuffle per batch, the same
+    key layout a 1000-node cluster would partition by."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(source_dir)
+    )
+    keyed = stream.withColumn("h", F.expr(key_expr))
+
+    out_schema = StructType(
+        [
+            StructField("h", StringType()),
+            StructField("event_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    state_schema = StructType([StructField("first_id", LongType())])
+
+    def dedup_fn(key, pdfs, state: GroupState):
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if not state.exists:  # hash seen before -> drop silently (no yield)
+            first = batch.sort_values("event_id").iloc[0]
+            state.update((int(first["event_id"]),))
+            yield pd.DataFrame(
+                [
+                    {
+                        "h": key[0],
+                        "event_id": int(first["event_id"]),
+                        "ts": first["ts"],
+                        "value": float(first["value"]),
+                    }
+                ]
+            )
+
+    timeout = (
+        GroupStateTimeout.NoTimeout if state_timeout is None else state_timeout
+    )
+    return keyed.groupBy("h").applyInPandasWithState(
+        dedup_fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=timeout,
+    )
+
+
+def run_stream_append_to_memory(
+    stream_df: DataFrame, name: str = "stream_append", timeout_sec: int = 120
+) -> DataFrame:
+    """Drain an append-mode stream (stateful operators) with availableNow."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    return stream_df.sparkSession.table(name)

@@ -30,3 +30,43 @@ def test_stream_matches_batch(spark, tmp_path):
     a = {(r.window_start, r.event_type): (r.n, r.sum_value) for r in got}
     b = {(r.window_start, r.event_type): (r.n, r.sum_value) for r in batch}
     assert a == b
+
+
+def test_streaming_dedup_first_seen_across_batches(spark, tmp_path):
+    """applyInPandasWithState custom stateful operator: one output row per
+    distinct content hash across ALL micro-batches (duplicates dropped both
+    within and across batches), matching the batch dedup group count."""
+    import hashlib
+    import re
+
+    import duckdb
+
+    from openeo_geotrellis_extensions_spark.streaming.events import (
+        run_stream_append_to_memory,
+        streaming_dedup_first_seen,
+    )
+
+    d = tmp_path / "ev_chunks"
+    d.mkdir()
+    con = duckdb.connect()
+    # 8 chunk files -> 2 micro-batches at maxFilesPerTrigger=4; chunks share
+    # duplicate props so the cross-batch state path is exercised
+    for i in range(8):
+        con.execute(
+            f"COPY (SELECT * FROM read_parquet('/root/testdata/sf0.01/events.parquet') "
+            f"WHERE event_id % 8 = {i}) TO '{d}/part_{i}.parquet' (FORMAT PARQUET)"
+        )
+    out = run_stream_append_to_memory(
+        streaming_dedup_first_seen(spark, str(d)), name="dedup_stream"
+    ).toPandas()
+
+    src = spark.read.parquet("/root/testdata/sf0.01/events.parquet").toPandas()
+    src["h"] = src["props"].map(lambda p: re.sub(r"\s+", " ", p.strip().lower()))
+    by_hash = src.groupby("h")["event_id"].agg(set)
+    assert len(out) == len(by_hash)           # one row per distinct hash
+    assert out["h"].nunique() == len(by_hash)
+    groups_by_md5 = {
+        hashlib.md5(h.encode()).hexdigest(): ids for h, ids in by_hash.items()
+    }
+    for rec in out.itertuples(index=False):
+        assert rec.event_id in groups_by_md5[rec.h]
