@@ -38,23 +38,22 @@ _SAMPLE_FORMAT = {"u": 1, "i": 2, "f": 3}
 _TYPE_SHORT, _TYPE_LONG, _TYPE_RATIONAL, _TYPE_ASCII, _TYPE_DOUBLE = 3, 4, 5, 2, 12
 
 
-def write_geotiff(
-    path: str,
+def _level_block(
     bands: np.ndarray,
     extent: Extent,
-    nodata: float | None = None,
-    epsg: int = 4326,
-    compression: str = "deflate",
-    rows_per_strip: int = 256,
-) -> None:
-    """bands: (n_bands, h, w) ndarray (single dtype). Chunky
-    (pixel-interleaved), striped, Deflate-compressed by default — matching
-    the reference's default writer options (geotiff/package.scala:133
-    DeflateCompression). ``compression``: 'deflate' | 'none'."""
+    nodata: float | None,
+    epsg: int,
+    compression: str,
+    rows_per_strip: int,
+    block_off: int,
+    next_ifd: int,
+    reduced: bool,
+) -> bytes:
+    """Serialize one IFD + out-of-line values + strip data starting at file
+    offset ``block_off``; the IFD's next pointer is ``next_ifd`` (0 = last).
+    ``reduced`` marks overview levels (NewSubfileType = 1)."""
     import zlib
 
-    if bands.ndim == 2:
-        bands = bands[None]
     nb, h, w = bands.shape
     dt = bands.dtype
     bits = dt.itemsize * 8
@@ -112,14 +111,15 @@ def write_geotiff(
         (33922, _TYPE_DOUBLE, 6, tiepoint),
         (34735, _TYPE_SHORT, len(geokeys) // 2, geokeys),
     ]
+    if reduced:
+        entries.append((254, _TYPE_LONG, 1, 1))  # NewSubfileType: overview
     if nodata_ascii:
         entries.append((42113, _TYPE_ASCII, len(nodata_ascii), nodata_ascii))
     entries.sort(key=lambda e: e[0])
 
-    header = struct.pack("<2sHI", b"II", 42, 8)
     n = len(entries)
     ifd_size = 2 + n * 12 + 4
-    extra_off = 8 + ifd_size
+    extra_off = block_off + ifd_size
     extra = b""
     ifd = struct.pack("<H", n)
     # first pass to place out-of-line values
@@ -151,23 +151,92 @@ def write_geotiff(
             ifd += struct.pack("<HHI4s", tag, typ, cnt, val.ljust(4, b"\x00"))
         else:
             ifd += struct.pack("<HHII", tag, typ, cnt, int(val))
-    ifd += struct.pack("<I", 0)
+    ifd += struct.pack("<I", next_ifd)
+    return ifd + bytes(extra) + b"".join(strips)
 
+
+def write_geotiff(
+    path: str,
+    bands: np.ndarray,
+    extent: Extent,
+    nodata: float | None = None,
+    epsg: int = 4326,
+    compression: str = "deflate",
+    rows_per_strip: int = 256,
+    overviews: bool = False,
+    min_overview_size: int = 32,
+) -> None:
+    """bands: (n_bands, h, w) ndarray (single dtype). Chunky
+    (pixel-interleaved), striped, Deflate-compressed by default — matching
+    the reference's default writer options (geotiff/package.scala:133
+    DeflateCompression). ``compression``: 'deflate' | 'none'.
+
+    ``overviews=True`` appends chained reduced-resolution IFDs (2x nearest
+    subsample per level down to ``min_overview_size``) — the reference's
+    optional overview output (geotiff/package.scala:223,354)."""
+    if bands.ndim == 2:
+        bands = bands[None]
+    levels = [bands]
+    if overviews:
+        cur = bands
+        while min(cur.shape[1], cur.shape[2]) // 2 >= min_overview_size:
+            cur = cur[:, ::2, ::2]
+            levels.append(cur)
+
+    # serialize sequentially; each block = [IFD][extra][strips], next-IFD
+    # pointer chains to the following block
+    blocks = []
+    off = 8
+    for i, lv in enumerate(levels):
+        last = i == len(levels) - 1
+        # two-pass: sizes don't depend on the next_ifd value, so measure
+        # with next_ifd=0 then re-serialize with the real pointer
+        probe = _level_block(
+            lv, extent, nodata, epsg, compression, rows_per_strip, off, 0, i > 0
+        )
+        next_ifd = 0 if last else off + len(probe)
+        blocks.append(
+            probe
+            if last
+            else _level_block(
+                lv, extent, nodata, epsg, compression, rows_per_strip, off,
+                next_ifd, i > 0,
+            )
+        )
+        off += len(probe)
+
+    header = struct.pack("<2sHI", b"II", 42, 8)
     with open(path, "wb") as f:
-        f.write(header + ifd + bytes(extra) + b"".join(strips))
+        f.write(header + b"".join(blocks))
 
 
 def read_geotiff(path: str) -> tuple[np.ndarray, Extent, float | None]:
     """Parse back a tiff written by :func:`write_geotiff` -> (bands, extent,
-    nodata)."""
+    nodata) of the FULL-resolution (first) IFD."""
+    return read_geotiff_levels(path)[0]
+
+
+def read_geotiff_levels(path: str) -> list[tuple[np.ndarray, Extent, float | None]]:
+    """All IFD levels (full resolution first, then overviews)."""
     buf = open(path, "rb").read()
     assert buf[:4] == b"II\x2a\x00"
     (ifd_off,) = struct.unpack_from("<I", buf, 4)
+    out = []
+    while ifd_off:
+        level, ifd_off = _read_ifd(buf, ifd_off)
+        out.append(level)
+    return out
+
+
+def _read_ifd(
+    buf: bytes, ifd_off: int
+) -> tuple[tuple[np.ndarray, Extent, float | None], int]:
     (n,) = struct.unpack_from("<H", buf, ifd_off)
     tags = {}
     for i in range(n):
         tag, typ, cnt, raw = struct.unpack_from("<HHI4s", buf, ifd_off + 2 + i * 12)
         tags[tag] = (typ, cnt, raw)
+    (next_ifd,) = struct.unpack_from("<I", buf, ifd_off + 2 + n * 12)
 
     def vals(tag):
         typ, cnt, raw = tags[tag]
@@ -209,7 +278,7 @@ def read_geotiff(path: str) -> tuple[np.ndarray, Extent, float | None]:
     if 42113 in tags:
         s = val(42113)
         nodata = float("nan") if s == "nan" else float(s)
-    return np.transpose(arr, (2, 0, 1)), extent, nodata
+    return (np.transpose(arr, (2, 0, 1)), extent, nodata), next_ifd
 
 
 # ---------------------------------------------------------------------------

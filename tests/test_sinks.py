@@ -237,3 +237,28 @@ def test_save_sample_geotiffs(spark, tmp_path):
     bands, ext, nd = read_geotiff(p)
     assert bands.shape == (2, 8, 8)  # one tile covers the rect
     assert ext == Extent(0.0, 0.0, 1.0, 1.0)  # tile (0,1): rect y<1 is row 1
+
+
+def test_geotiff_overviews(tmp_path):
+    """overviews=True chains reduced-resolution IFDs (2x nearest subsample,
+    NewSubfileType=1) — geotiff/package.scala:223,354 optional overviews."""
+    from openeo_geotrellis_extensions_spark.core.grid import Extent
+    from openeo_geotrellis_extensions_spark.sinks.geotiff import (
+        read_geotiff,
+        read_geotiff_levels,
+        write_geotiff,
+    )
+
+    rng = np.random.RandomState(11)
+    bands = (rng.rand(1, 128, 128) * 200).astype(np.uint8)
+    ext = Extent(0.0, 0.0, 4.0, 4.0)
+    p = str(tmp_path / "ov.tif")
+    write_geotiff(p, bands, ext, nodata=255, overviews=True)
+    levels = read_geotiff_levels(p)
+    assert [lv[0].shape for lv in levels] == [(1, 128, 128), (1, 64, 64), (1, 32, 32)]
+    np.testing.assert_array_equal(levels[0][0], bands)
+    np.testing.assert_array_equal(levels[1][0], bands[:, ::2, ::2])
+    for lv in levels:
+        assert lv[1] == ext and lv[2] == 255  # same georeferencing each level
+    full, ext2, nd = read_geotiff(p)  # plain reader sees full res only
+    np.testing.assert_array_equal(full, bands)
