@@ -51,14 +51,18 @@ def jaccard_verify(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
+    grams: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard for CANDIDATE pairs only (id_a < id_b in
     ``cand``). The gram table is semi-joined down to candidate ids BEFORE any
     intersection work, so the cost is O(candidate grams), independent of the
     corpus — the fix for the round-1 'verify scores all co-occurring pairs'
     scale bug. Pairs sharing zero grams get no row (jaccard 0).
+    ``grams``: optionally pass a precomputed (persisted) word_ngrams table
+    so multi-stage pipelines tokenize the corpus once.
     -> (id_a, id_b, jaccard)."""
-    grams = word_ngrams(df, text_col, id_col, n)
+    if grams is None:
+        grams = word_ngrams(df, text_col, id_col, n)
     ids = (
         cand.select(F.col("id_a").alias("id"))
         .union(cand.select(F.col("id_b").alias("id")))
@@ -169,12 +173,14 @@ def minhash_signatures(
     id_col: str = "doc_id",
     n: int = 3,
     num_hashes: int = 16,
+    grams: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash over word n-gram shingles. Hash family i = md5(i || '|' ||
     shingle); the signature element is the lexicographic MIN of the hex
     digest (a valid min-wise hash, portable to any engine with md5).
     -> (id, sig: array<string>[num_hashes])."""
-    grams = word_ngrams(df, text_col, id_col, n)
+    if grams is None:
+        grams = word_ngrams(df, text_col, id_col, n)
     mins = [
         F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("ngram")))).alias(f"m{i}")
         for i in range(num_hashes)
@@ -197,6 +203,11 @@ def minhash_lsh_pairs(
     pairs (equi-join on the band key — never O(n^2)). With
     ``verify_threshold`` candidates are re-scored with exact Jaccard."""
     rows = num_hashes // bands
+    # NOTE: the exploded gram table is deliberately NOT persisted — caching
+    # it materializes the explode (breaking codegen fusion) and measured
+    # SLOWER + heap-heavy under default driver memory; recomputing the
+    # columnar lineage per stage is cheaper. Callers with big memory budgets
+    # can pass their own persisted table via the grams= parameters.
     sig = minhash_signatures(df, text_col, id_col, n, num_hashes)
     band_structs = F.array(
         *[
