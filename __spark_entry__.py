@@ -753,6 +753,39 @@ def _oracle_text_quality() -> str:
     """
 
 
+def _q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document — pure DataFrame aggregation chain
+    (tf, df, smoothed idf), all map-side combinable."""
+    from openeo_geotrellis_extensions_spark.pipeline.text import tfidf_top_terms
+
+    docs = spark.read.parquet(_DOCS.format(sf=sf_dir))
+    return tfidf_top_terms(docs, top_k=3).select(
+        F.col("id").cast("long").alias("id"),
+        "term",
+        "score",
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+_ORACLE_TFIDF = r"""
+    WITH norm AS (SELECT doc_id AS id,
+                         regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+                  FROM documents),
+    words AS (SELECT id, unnest(string_split(t, ' ')) AS term FROM norm),
+    tf AS (SELECT id, term, COUNT(*) AS tf FROM words WHERE term != ''
+           GROUP BY 1, 2),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+    nd AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
+    scored AS (SELECT id, term,
+                      ROUND(tf * (ln((n + 1) * 1.0 / (df + 1)) + 1.0), 6) AS score
+               FROM tf JOIN dfreq USING (term), nd),
+    ranked AS (SELECT *, CAST(ROW_NUMBER() OVER (
+                   PARTITION BY id ORDER BY score DESC, term ASC
+               ) AS INT) AS rank FROM scored)
+    SELECT id, term, score, rank FROM ranked WHERE rank <= 3
+"""
+
+
 def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return dedup_exact(ev, text_col="props", id_col="event_id").select(
@@ -1484,6 +1517,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "apply_kernel": _q_apply_kernel,
         "reduce_bands_ndvi": _q_reduce_bands_ndvi,
         "text_quality": _q_text_quality,
+        "tfidf": _q_tfidf,
         "dedup_exact": _q_dedup_exact,
         "ngram_jaccard": _q_ngram_jaccard,
         "ngram_jaccard_capped": _q_ngram_jaccard_capped,
@@ -1523,6 +1557,7 @@ def oracle_sql() -> dict[str, str]:
         "apply_kernel": _oracle_apply_kernel(),
         "reduce_bands_ndvi": _oracle_reduce_bands_ndvi(),
         "text_quality": _oracle_text_quality(),
+        "tfidf": _ORACLE_TFIDF,
         "dedup_exact": _ORACLE_DEDUP_EXACT,
         "ngram_jaccard": _ORACLE_NGRAM_JACCARD,
         "ngram_jaccard_capped": _ORACLE_NGRAM_JACCARD_CAPPED,

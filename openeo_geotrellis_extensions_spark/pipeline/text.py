@@ -108,3 +108,43 @@ def text_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     (The exact-dedup key; a rolling-hash analog lives in dedup.simhash.)"""
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), "\\s+", " ")
     return df.withColumn("fingerprint", F.md5(norm))
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 3,
+) -> DataFrame:
+    """Top-k TF-IDF terms per document, pure DataFrame ops (no MLlib):
+    tf = term count in doc; idf = ln((N + 1) / (df + 1)) + 1 (smoothed);
+    ties break on term asc. Shuffles: one per aggregation level, all
+    map-side combinable; the tiny (N) scalar broadcasts via crossJoin.
+    -> (id, term, score, rank)."""
+    from pyspark.sql import Window
+
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), "\\s+", " ")
+    words = df.select(
+        F.col(id_col).alias("id"), F.explode(F.split(norm, " ")).alias("term")
+    ).where(F.col("term") != "")
+    tf = words.groupBy("id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = df.select(F.countDistinct(F.col(id_col)).alias("n"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("n") + 1) / (F.col("df") + 1)) + F.lit(1.0)),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+        .select("id", "term", "score", "rank")
+    )

@@ -193,3 +193,28 @@ def test_ngram_jaccard_max_df_drops_only_hot_gram_pairs(spark):
     assert capped
     for pair, j in capped.items():
         assert full[pair] == j
+
+
+def test_tfidf_top_terms(spark):
+    """TF-IDF: hand-checked on a 3-doc corpus + JVM-only plan."""
+    from openeo_geotrellis_extensions_spark.pipeline.text import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [(0, "apple banana apple"), (1, "banana cherry"), (2, "cherry cherry dates")],
+        ["doc_id", "text"],
+    )
+    out = tfidf_top_terms(docs, top_k=2)
+    rows = {(r.id, r.rank): (r.term, r.score) for r in out.collect()}
+    import math
+
+    def idf(df):
+        return math.log((3 + 1) / (df + 1)) + 1.0
+
+    # doc 0: apple tf=2 df=1 -> top; banana tf=1 df=2
+    assert rows[(0, 1)][0] == "apple"
+    assert abs(rows[(0, 1)][1] - round(2 * idf(1), 6)) < 1e-9
+    assert rows[(0, 2)][0] == "banana"
+    # doc 2: cherry tf=2 df=2 beats dates tf=1 df=1
+    assert rows[(2, 1)][0] == "cherry"
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
