@@ -786,6 +786,53 @@ _ORACLE_TFIDF = r"""
 """
 
 
+def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-stratified deterministic sampling: content-keyed md5-threshold
+    keep decisions (stable under repartitioning, engine-portable — the
+    training-pipeline replacement for RNG-seeded sampleBy)."""
+    from openeo_geotrellis_extensions_spark.pipeline.sample import (
+        stratified_sample,
+    )
+
+    docs = spark.read.parquet(_DOCS.format(sf=sf_dir)).withColumn(
+        "stratum",
+        F.when(F.length("text") < 200, "short")
+        .when(F.length("text") < 500, "mid")
+        .otherwise("long"),
+    )
+    out = stratified_sample(
+        docs,
+        "stratum",
+        {"short": 1.0, "mid": 0.5, "long": 0.25},
+        key_col="doc_id",
+    )
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"), "stratum")
+
+
+def _oracle_stratified_sample() -> str:
+    from openeo_geotrellis_extensions_spark.pipeline.sample import _threshold_hex
+
+    t_short, t_mid, t_long = (
+        _threshold_hex(1.0),
+        _threshold_hex(0.5),
+        _threshold_hex(0.25),
+    )
+    return f"""
+        WITH s AS (
+            SELECT doc_id,
+                   CASE WHEN length(text) < 200 THEN 'short'
+                        WHEN length(text) < 500 THEN 'mid'
+                        ELSE 'long' END AS stratum,
+                   md5(concat(CAST(doc_id AS VARCHAR), ':sample')) AS d
+            FROM documents
+        )
+        SELECT doc_id, stratum FROM s
+        WHERE (stratum = 'short' AND d < '{t_short}')
+           OR (stratum = 'mid' AND d < '{t_mid}')
+           OR (stratum = 'long' AND d < '{t_long}')
+    """
+
+
 def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return dedup_exact(ev, text_col="props", id_col="event_id").select(
@@ -1518,6 +1565,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reduce_bands_ndvi": _q_reduce_bands_ndvi,
         "text_quality": _q_text_quality,
         "tfidf": _q_tfidf,
+        "stratified_sample": _q_stratified_sample,
         "dedup_exact": _q_dedup_exact,
         "ngram_jaccard": _q_ngram_jaccard,
         "ngram_jaccard_capped": _q_ngram_jaccard_capped,
@@ -1558,6 +1606,7 @@ def oracle_sql() -> dict[str, str]:
         "reduce_bands_ndvi": _oracle_reduce_bands_ndvi(),
         "text_quality": _oracle_text_quality(),
         "tfidf": _ORACLE_TFIDF,
+        "stratified_sample": _oracle_stratified_sample(),
         "dedup_exact": _ORACLE_DEDUP_EXACT,
         "ngram_jaccard": _ORACLE_NGRAM_JACCARD,
         "ngram_jaccard_capped": _ORACLE_NGRAM_JACCARD_CAPPED,

@@ -1,0 +1,68 @@
+"""Deterministic sampling for training-data pipelines.
+
+Spark's sample()/sampleBy() draw from a partition-seeded RNG — reproducible
+within one Spark build but not portable to other engines or stable across
+repartitioning. Training pipelines want content-keyed decisions: the SAME
+document keeps/drops regardless of partitioning, cluster size, or engine.
+
+Here the keep decision is ``md5(key || ':' || salt) < threshold(fraction)``:
+the digest is uniform over 16^32, so comparing the lowercase-hex string
+against a precomputed hex threshold keeps each key independently with the
+requested probability — one deterministic Column expression, no RNG state,
+mirrorable in any SQL engine with md5 (the DuckDB oracles re-run it
+verbatim). Threshold resolution is 16^-8 (~4e-10).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _threshold_hex(fraction: float) -> str:
+    """32-char lowercase hex string t with P(md5 < t) == round(f * 16^8) / 16^8."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    scaled = round(fraction * 16**8)
+    if scaled >= 16**8:
+        return "g" * 32  # lexicographically above every hex digest: keep all
+    return format(scaled, "08x") + "0" * 24
+
+
+def keep_expr(key_col: str, fraction: float, salt: str = "sample") -> F.Column:
+    """Boolean Column: deterministic keep decision for ``fraction``."""
+    digest = F.md5(F.concat(F.col(key_col).cast("string"), F.lit(f":{salt}")))
+    return digest < F.lit(_threshold_hex(fraction))
+
+
+def deterministic_sample(
+    df: DataFrame, key_col: str, fraction: float, salt: str = "sample"
+) -> DataFrame:
+    """Content-keyed Bernoulli sample: stable under repartitioning, engine-
+    portable, no RNG."""
+    return df.where(keep_expr(key_col, fraction, salt))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    key_col: str,
+    salt: str = "sample",
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling (the sampleBy analog): each stratum
+    keeps its own fraction; strata missing from ``fractions`` keep
+    ``default_fraction``. One Column expression — no per-stratum jobs, no
+    shuffle beyond what the caller already has."""
+    digest = F.md5(F.concat(F.col(key_col).cast("string"), F.lit(f":{salt}")))
+    expr = None
+    for stratum, frac in sorted(fractions.items()):
+        thr = F.lit(_threshold_hex(frac))
+        branch = (F.col(strata_col) == stratum) & (digest < thr)
+        expr = branch if expr is None else (expr | branch)
+    fallback = (~F.col(strata_col).isin(*fractions.keys())) & (
+        digest < F.lit(_threshold_hex(default_fraction))
+    )
+    expr = fallback if expr is None else (expr | fallback)
+    return df.where(expr)

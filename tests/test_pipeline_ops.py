@@ -218,3 +218,29 @@ def test_tfidf_top_terms(spark):
     assert rows[(2, 1)][0] == "cherry"
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_deterministic_sample_properties(spark):
+    """Content-keyed sampling: repartition-stable, fraction within binomial
+    bounds, strata fractions honored, fraction=1 keeps all, 0 keeps none."""
+    from openeo_geotrellis_extensions_spark.pipeline.sample import (
+        deterministic_sample,
+        stratified_sample,
+    )
+
+    df = spark.range(4000).withColumnRenamed("id", "k")
+    kept = deterministic_sample(df, "k", 0.5, salt="t")
+    ids1 = {r.k for r in kept.collect()}
+    ids2 = {r.k for r in deterministic_sample(df.repartition(7), "k", 0.5, salt="t").collect()}
+    assert ids1 == ids2  # partitioning-independent
+    assert abs(len(ids1) / 4000 - 0.5) < 0.05  # ~binomial(4000, .5)
+    assert deterministic_sample(df, "k", 1.0).count() == 4000
+    assert deterministic_sample(df, "k", 0.0).count() == 0
+
+    strat = df.withColumn(
+        "s", F.when(F.col("k") % 2 == 0, "even").otherwise("odd")
+    )
+    out = stratified_sample(strat, "s", {"even": 1.0, "odd": 0.25}, key_col="k")
+    by = {r["s"]: r["count"] for r in out.groupBy("s").count().collect()}
+    assert by["even"] == 2000
+    assert abs(by.get("odd", 0) / 2000 - 0.25) < 0.06
