@@ -110,3 +110,27 @@ def test_minhash_verify_scans_only_candidates(spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     plan = plan_of(minhash_lsh_pairs(docs, verify_threshold=0.5))
     assert "LeftSemi" in plan
+
+
+def test_no_unjustified_cartesian_in_any_registered_query(spark):
+    """Sweep EVERY registered query plan: CartesianProduct is banned
+    outright; BroadcastNestedLoopJoin is allowed only where the broadcast
+    side is O(1) by construction (allowlisted + justified below)."""
+    import __spark_entry__ as m
+
+    bnlj_ok = {
+        "knn_cosine",          # exact rerank primitive: bounded 20-query side
+        "ivf_ann",             # crossJoin(broadcast(centroids)), n_lists=16 rows
+        "tfidf",               # crossJoin(broadcast(N)), a single scalar row
+        "zonal_stats_const",   # dense restore: crossJoin of tiny date/band dims
+        "zonal_stats_arith",   # dense restore: crossJoin of tiny date/band dims
+        "aggregate_temporal",  # dense interval fill: tiny interval dim
+    }
+    streaming = {"stream_windowed", "stream_dedup_stateful"}  # plans materialize in sinks
+    for name, fn in m.queries().items():
+        if name in streaming:
+            continue
+        plan = plan_of(fn(spark, "/root/testdata/sf0.001"))
+        assert "CartesianProduct" not in plan, name
+        if name not in bnlj_ok:
+            assert "BroadcastNestedLoopJoin" not in plan, name
