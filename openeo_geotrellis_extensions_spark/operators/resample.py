@@ -141,3 +141,10 @@ def retile(cube: DataCube, tile_cols: int, tile_rows: int) -> DataCube:
     ):
         raise ValueError("retile size must evenly divide the pixel grid")
     return resample_spatial(cube, target)
+
+
+def resample_cube_spatial(cube: DataCube, target: DataCube) -> DataCube:
+    """openEO resample_cube_spatial (OpenEOProcesses.resampleCubeSpatial,
+    OpenEOProcesses.scala:832-880): regrid ``cube`` onto ``target``'s layout
+    (CRS warp included when their CRSs differ)."""
+    return resample_spatial(cube, target.meta.layout)

@@ -192,3 +192,19 @@ def test_reproject_unsupported_pair_raises(spark):
     bad = LayoutDefinition(Extent(0.0, 0.0, 2.0, 2.0), 2, 2, 8, 8, "EPSG:32631")
     with pytest.raises(NotImplementedError):
         resample_spatial(cube, bad)
+
+
+def test_resample_cube_spatial_matches_target_layout(spark):
+    from openeo_geotrellis_extensions_spark.operators.resample import (
+        resample_cube_spatial,
+    )
+
+    fine = LayoutDefinition(Extent(0.0, 0.0, 2.0, 2.0), 4, 4, 8, 8)
+    a = arithmetic_cube(spark, LAYOUT, n_bands=1)
+    b = constant_cube(spark, fine)
+    out = resample_cube_spatial(a, b)
+    assert out.meta.layout == fine
+    np.testing.assert_allclose(
+        _world_pixels(out), _world_pixels(a).repeat(2, 0).repeat(2, 1),
+        equal_nan=True,
+    )
