@@ -917,7 +917,11 @@ def _q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _oracle_minhash_lsh() -> str:
+def _minhash_cand_ctes() -> str:
+    """CTE chain (grams -> sig -> buckets -> cand -> sz -> inter -> j)
+    mirroring minhash_lsh_pairs exactly: LSH-banded candidates scored with
+    exact jaccard. Shared by the minhash and dedup-groups oracles so BOTH
+    reflect LSH recall (not the full co-occurrence join)."""
     mins = ", ".join(
         f"MIN(md5(concat('{i}|', g))) AS m{i}" for i in range(16)
     )
@@ -927,7 +931,7 @@ def _oracle_minhash_lsh() -> str:
         for b in range(4)
     )
     return f"""
-        WITH {_GRAMS_CTE},
+        {_GRAMS_CTE},
         sig AS (SELECT doc_id, {mins} FROM grams GROUP BY doc_id),
         buckets AS ({bands}),
         cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -935,14 +939,20 @@ def _oracle_minhash_lsh() -> str:
                    ON a.band = b.band AND a.bucket = b.bucket
                       AND a.doc_id < b.doc_id),
         sz AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY 1),
-        inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
-                  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+        inter AS (SELECT c.id_a, c.id_b, COUNT(*) AS i
+                  FROM cand c
+                  JOIN grams ga ON ga.doc_id = c.id_a
+                  JOIN grams gb ON gb.doc_id = c.id_b AND gb.g = ga.g
                   GROUP BY 1, 2),
         j AS (SELECT id_a, id_b, ROUND(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
               FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b)
-        SELECT c.id_a, c.id_b, j.jaccard
-        FROM cand c JOIN j ON j.id_a = c.id_a AND j.id_b = c.id_b
-        WHERE j.jaccard >= 0.05
+    """
+
+
+def _oracle_minhash_lsh() -> str:
+    return f"""
+        WITH {_minhash_cand_ctes()}
+        SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.05
     """
 
 
@@ -1449,18 +1459,13 @@ def _q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_dedup_groups() -> str:
-    """Transitive closure via DuckDB recursive CTE over the same edges."""
+    """Transitive closure via DuckDB recursive CTE over the SAME edge set the
+    engine builds: LSH-banded candidates verified at jaccard >= 0.5 (NOT all
+    co-occurring pairs — LSH recall < 1 is part of the algorithm's contract,
+    which a full-join oracle would mask; caught by an sf0.1 sweep)."""
     return f"""
-        WITH RECURSIVE {_GRAMS_CTE},
-        sz AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY 1),
-        inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
-                  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
-                  GROUP BY 1, 2),
-        jpairs AS (
-            SELECT id_a, id_b
-            FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
-            WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5
-        ),
+        WITH RECURSIVE {_minhash_cand_ctes()},
+        jpairs AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.5),
         edges AS (SELECT id_a AS a, id_b AS b FROM jpairs
                   UNION SELECT id_b, id_a FROM jpairs),
         reach AS (
