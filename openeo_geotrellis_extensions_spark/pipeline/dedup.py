@@ -355,13 +355,10 @@ def embedding_near_dups_lsh(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    dot = F.expr(
-        "aggregate(zip_with(va, vb, (x, y) -> CAST(x AS DOUBLE) * y), 0D, (acc, v) -> acc + v)"
-    )
-    na = F.sqrt(F.expr("aggregate(va, 0D, (acc, v) -> acc + CAST(v AS DOUBLE) * v)"))
-    nb = F.sqrt(F.expr("aggregate(vb, 0D, (acc, v) -> acc + CAST(v AS DOUBLE) * v)"))
+    from .similarity import cosine_col
+
     return (
-        cand.withColumn("cosine", F.round(dot / (na * nb), 6))
+        cand.withColumn("cosine", F.round(cosine_col("va", "vb"), 6))
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
@@ -378,14 +375,11 @@ def embedding_near_dups(
     path is :func:`embedding_near_dups_lsh`. -> (id_a < id_b, cosine)."""
     a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
-    dot = F.expr(
-        "aggregate(zip_with(va, vb, (x, y) -> CAST(x AS DOUBLE) * y), 0D, (acc, v) -> acc + v)"
-    )
-    na = F.sqrt(F.expr("aggregate(va, 0D, (acc, v) -> acc + CAST(v AS DOUBLE) * v)"))
-    nb = F.sqrt(F.expr("aggregate(vb, 0D, (acc, v) -> acc + CAST(v AS DOUBLE) * v)"))
+    from .similarity import cosine_col
+
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", F.round(dot / (na * nb), 6))
+        .withColumn("cosine", F.round(cosine_col("va", "vb"), 6))
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )

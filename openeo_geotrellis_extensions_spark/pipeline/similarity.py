@@ -11,11 +11,42 @@ arithmetic — no RNG state, reproducible in SQL oracles and across runs.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 _DOT = "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * y), 0D, (acc, v) -> acc + v)"
 _NORM = "sqrt(aggregate({a}, 0D, (acc, v) -> acc + CAST(v AS DOUBLE) * v))"
+
+
+def _cosine_batch_fn(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Arrow-vectorized cosine, BIT-IDENTICAL to the _DOT/_NORM SQL fold:
+    the per-dimension loop accumulates in index order, reproducing the SQL
+    aggregate's left-fold IEEE rounding exactly (numpy sum/einsum would use
+    pairwise/BLAS order and drift in the last ulps — enough to flip a
+    round-to-6dp oracle comparison). ~50x faster than the interpreted SQL
+    lambda on the rerank hot path."""
+    A = np.stack(a.to_numpy()).astype(np.float64)
+    B = np.stack(b.to_numpy()).astype(np.float64)
+    n = A.shape[0]
+    dot = np.zeros(n)
+    na = np.zeros(n)
+    nb = np.zeros(n)
+    for d in range(A.shape[1]):
+        x, y = A[:, d], B[:, d]
+        dot += x * y
+        na += x * x
+        nb += y * y
+    return pd.Series(dot / (np.sqrt(na) * np.sqrt(nb)))
+
+
+def cosine_col(va: str, vb: str) -> F.Column:
+    """Cosine similarity column over two array<float>/array<double> columns
+    (Arrow-vectorized, fold-order-exact). The pandas_udf is created lazily —
+    decorating at import time needs an active SparkSession."""
+    return pandas_udf(_cosine_batch_fn, "double")(F.col(va), F.col(vb))
 
 
 def cosine_topk_bruteforce(
@@ -29,12 +60,9 @@ def cosine_topk_bruteforce(
     self-matches). -> (query_id, neighbor_id, cosine, rank)."""
     base = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vb"))
     q = (queries or emb).select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("va"))
-    cos = F.expr(_DOT.format(a="va", b="vb")) / (
-        F.expr(_NORM.format(a="va")) * F.expr(_NORM.format(a="vb"))
-    )
     pairs = (
         q.join(base, F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", F.round(cos, 6))
+        .withColumn("cosine", F.round(cosine_col("va", "vb"), 6))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id")
@@ -111,12 +139,9 @@ def ivf_topk(
     qc = assigned.select(F.col("id").alias("query_id"), F.col("v").alias("va")).crossJoin(
         F.broadcast(centroids)
     )
-    ccos = F.expr(_DOT.format(a="va", b="centroid")) / (
-        F.expr(_NORM.format(a="va")) * F.expr(_NORM.format(a="centroid"))
-    )
     wq = Window.partitionBy("query_id").orderBy(F.desc("ccos"), F.asc("list_id"))
     probes = (
-        qc.withColumn("ccos", ccos)
+        qc.withColumn("ccos", cosine_col("va", "centroid"))
         .withColumn("prank", F.row_number().over(wq))
         .where(F.col("prank") <= n_probe)
         .select("query_id", "va", "list_id")
@@ -125,12 +150,9 @@ def ivf_topk(
         assigned.select(F.col("id").alias("neighbor_id"), F.col("v").alias("vb"), "list_id"),
         "list_id",
     ).where(F.col("query_id") != F.col("neighbor_id"))
-    cos = F.expr(_DOT.format(a="va", b="vb")) / (
-        F.expr(_NORM.format(a="va")) * F.expr(_NORM.format(a="vb"))
-    )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
-        cand.withColumn("cosine", F.round(cos, 6))
+        cand.withColumn("cosine", F.round(cosine_col("va", "vb"), 6))
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
@@ -146,18 +168,35 @@ def hyperplane_buckets(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Explode each vector to its ``tables`` LSH bucket keys:
-    -> (id, v, bucket) with bucket = 'table:signature'."""
+    -> (id, v, bucket) with bucket = 'table:signature'.
+
+    Signatures are computed in one Arrow batch matmul instead of tables*bits
+    interpreted SQL folds. Because components quantize to floor(x*1e6) and
+    coefficients are small ints, every dot is an integer-valued double below
+    2^53 — EXACT under any summation order, so the BLAS matmul reproduces
+    the SQL fold (and the DuckDB oracle) bit for bit."""
+    C = np.array(
+        [hyperplane_coefs(t, b, dim) for t in range(tables) for b in range(bits)],
+        dtype=np.float64,
+    )
+    prefixes = np.array([f"{t}:" for t in range(tables)])
+
+    @pandas_udf("array<string>")
+    def _buckets(v: pd.Series) -> pd.Series:
+        V = np.stack(v.to_numpy()).astype(np.float64)
+        Q = np.floor(V * 1_000_000.0)
+        S = Q @ C.T  # (n, tables*bits), exact
+        chars = np.where(S >= 0, "1", "0").reshape(len(V), tables, bits)
+        strs = chars[:, :, 0]
+        for b in range(1, bits):
+            strs = np.char.add(strs, chars[:, :, b])
+        full = np.char.add(np.broadcast_to(prefixes, (len(V), tables)), strs)
+        return pd.Series(full.tolist())
+
     return emb.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
-        F.explode(
-            F.array(
-                *[
-                    F.concat(F.lit(f"{t}:"), _hyperplane_sig(vec_col, bits, dim, t))
-                    for t in range(tables)
-                ]
-            )
-        ).alias("bucket"),
+        F.explode(_buckets(F.col(vec_col))).alias("bucket"),
     )
 
 
@@ -193,10 +232,7 @@ def lsh_topk(
         )
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    cos = F.expr(_DOT.format(a="va", b="vb")) / (
-        F.expr(_NORM.format(a="va")) * F.expr(_NORM.format(a="vb"))
-    )
-    scored = cand.withColumn("cosine", F.round(cos, 6))
+    scored = cand.withColumn("cosine", F.round(cosine_col("va", "vb"), 6))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
