@@ -262,3 +262,53 @@ def test_geotiff_overviews(tmp_path):
         assert lv[1] == ext and lv[2] == 255  # same georeferencing each level
     full, ext2, nd = read_geotiff(p)  # plain reader sees full res only
     np.testing.assert_array_equal(full, bands)
+
+
+def test_cdf1_property_roundtrip():
+    """Property test for the from-scratch CDF-1 codec: random dim sizes,
+    dtypes, attribute mixes, and odd (non-4-multiple) payload lengths
+    round-trip exactly."""
+    from hypothesis import given, settings, strategies as st
+
+    from openeo_geotrellis_extensions_spark.sinks.netcdf_format import (
+        NcVar,
+        read_cdf1,
+        write_cdf1,
+    )
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        ny=st.integers(1, 7),
+        nx=st.integers(1, 9),
+        nc_type=st.sampled_from(["int", "float", "double"]),
+        seed=st.integers(0, 2**31 - 1),
+        gname=st.text("abcdefgh_", min_size=1, max_size=11),
+    )
+    def case(ny, nx, nc_type, seed, gname):
+        import tempfile
+
+        rng = np.random.RandomState(seed)
+        raw = rng.rand(ny, nx) * 100 - 50
+        dt = {"int": np.int32, "float": np.float32, "double": np.float64}[nc_type]
+        data = raw.astype(dt)
+        atts = {"str_att": gname, "num_att": float(seed % 97), "vec_att": [1, 2, 3]}
+        with tempfile.NamedTemporaryFile(suffix=".nc") as f:
+            write_cdf1(
+                f.name,
+                [("y", ny), ("x", nx)],
+                [
+                    NcVar("y", "double", ["y"], np.arange(ny, dtype=np.float64)),
+                    NcVar("v", nc_type, ["y", "x"], data, atts),
+                ],
+                {"title": gname},
+            )
+            back = read_cdf1(f.name)
+        assert back["dims"] == [("y", ny), ("x", nx)]
+        assert back["gatts"]["title"] == gname
+        v = back["vars"]["v"]
+        np.testing.assert_array_equal(np.asarray(v["data"], dtype=dt), data)
+        assert v["atts"]["str_att"] == gname
+        assert v["atts"]["num_att"] == float(seed % 97)
+        np.testing.assert_array_equal(v["atts"]["vec_att"], [1, 2, 3])
+
+    case()
