@@ -81,6 +81,24 @@ def run_stream_to_memory(
     return stream_df.sparkSession.table(name)
 
 
+_DURATION_UNITS_MS = {
+    "ms": 1, "millisecond": 1, "milliseconds": 1,
+    "s": 1000, "second": 1000, "seconds": 1000,
+    "minute": 60_000, "minutes": 60_000, "min": 60_000,
+    "hour": 3_600_000, "hours": 3_600_000,
+    "day": 86_400_000, "days": 86_400_000,
+}
+
+
+def _duration_ms(d: str | int) -> int:
+    """'1 hour' / '30 seconds' / 5000 -> milliseconds (PySpark's
+    setTimeoutDuration only takes ints)."""
+    if isinstance(d, int):
+        return d
+    n, unit = d.strip().split()
+    return int(float(n) * _DURATION_UNITS_MS[unit.lower()])
+
+
 def streaming_dedup_first_seen(
     spark: SparkSession,
     source_dir: str,
@@ -93,7 +111,12 @@ def streaming_dedup_first_seen(
     of pipeline.dedup.dedup_exact. State per content hash stores the first
     event_id; duplicates within AND across micro-batches are dropped.
     Grouping on the hash makes state access one shuffle per batch, the same
-    key layout a 1000-node cluster would partition by."""
+    key layout a 1000-node cluster would partition by.
+
+    ``state_timeout``: optional processing-time TTL (e.g. '1 hour') — each
+    key's state expires that long after it was last touched, bounding state
+    size for unbounded streams at the cost of re-admitting a duplicate that
+    arrives after the window (the standard streaming-dedup tradeoff)."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -114,9 +137,17 @@ def streaming_dedup_first_seen(
     )
     state_schema = StructType([StructField("first_id", LongType())])
 
+    ttl = _duration_ms(state_timeout) if state_timeout is not None else None
+
     def dedup_fn(key, pdfs, state: GroupState):
+        if state.hasTimedOut:  # TTL expired: drop the key's state entirely
+            state.remove()
+            return
         batch = pd.concat(list(pdfs), ignore_index=True)
-        if not state.exists:  # hash seen before -> drop silently (no yield)
+        fresh = not state.exists
+        if ttl is not None:
+            state.setTimeoutDuration(ttl)  # (re)arm the TTL on every touch
+        if fresh:  # hash seen before -> drop silently (no yield)
             first = batch.sort_values("event_id").iloc[0]
             state.update((int(first["event_id"]),))
             yield pd.DataFrame(
@@ -131,7 +162,9 @@ def streaming_dedup_first_seen(
             )
 
     timeout = (
-        GroupStateTimeout.NoTimeout if state_timeout is None else state_timeout
+        GroupStateTimeout.NoTimeout
+        if state_timeout is None
+        else GroupStateTimeout.ProcessingTimeTimeout
     )
     return keyed.groupBy("h").applyInPandasWithState(
         dedup_fn,

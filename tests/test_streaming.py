@@ -70,3 +70,32 @@ def test_streaming_dedup_first_seen_across_batches(spark, tmp_path):
     }
     for rec in out.itertuples(index=False):
         assert rec.event_id in groups_by_md5[rec.h]
+
+
+def test_streaming_dedup_with_state_ttl(spark, tmp_path):
+    """TTL-armed variant (ProcessingTimeTimeout): with a TTL far beyond the
+    run, output matches the untimed semantics — one row per distinct hash."""
+    import duckdb
+
+    from openeo_geotrellis_extensions_spark.streaming.events import (
+        run_stream_append_to_memory,
+        streaming_dedup_first_seen,
+    )
+
+    d = tmp_path / "ev_ttl"
+    d.mkdir()
+    con = duckdb.connect()
+    for i in range(8):
+        con.execute(
+            f"COPY (SELECT * FROM read_parquet('/root/testdata/sf0.01/events.parquet') "
+            f"WHERE event_id % 8 = {i}) TO '{d}/part_{i}.parquet' (FORMAT PARQUET)"
+        )
+    out = run_stream_append_to_memory(
+        streaming_dedup_first_seen(spark, str(d), state_timeout="1 hour"),
+        name="dedup_stream_ttl",
+    ).toPandas()
+    n_hashes = con.execute(
+        r"SELECT COUNT(DISTINCT md5(regexp_replace(lower(trim(props)), '\s+', ' ', 'g'))) "
+        "FROM read_parquet('/root/testdata/sf0.01/events.parquet')"
+    ).fetchone()[0]
+    assert len(out) == n_hashes
