@@ -1528,13 +1528,22 @@ def _q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = tempfile.mkdtemp(prefix="ev_dedup_stream_")
     con = duckdb.connect()
+    import os
+    import time as _time
+
+    t0 = int(_time.time()) - 3600
     for i in range(8):
+        path = f"{d}/part_{i}.parquet"
         con.execute(
             f"COPY (SELECT event_id, ts, user_id, event_type, value, props FROM ("
             f"SELECT *, NTILE(8) OVER (ORDER BY event_id) AS chunk "
             f"FROM read_parquet('{sf_dir}/events.parquet')) WHERE chunk = {i + 1}) "
-            f"TO '{d}/part_{i}.parquet' (FORMAT PARQUET)"
+            f"TO '{path}' (FORMAT PARQUET)"
         )
+        # strictly increasing mtimes: FileStreamSource orders by modification
+        # time with OS-listing tie-break — same-ms writes would make batch
+        # composition (and therefore first-seen) nondeterministic
+        os.utime(path, (t0 + i, t0 + i))
     import uuid
 
     out = run_stream_append_to_memory(

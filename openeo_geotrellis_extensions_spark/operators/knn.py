@@ -116,4 +116,8 @@ def knn_join(
         if remaining.isEmpty():
             break
         radius *= 2
+    # materialize the (small, queries x k) result, then release the cached
+    # point table so repeated knn_join calls don't pin executor storage
+    results = results.localCheckpoint(eager=True)
+    pts.unpersist()
     return results

@@ -100,6 +100,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.3,
     max_df: int | None = None,
+    log_dropped: bool = False,
 ) -> DataFrame:
     """n-gram Jaccard similarity join: pairs (id_a < id_b, jaccard >=
     threshold). Inverted-index self-join on shared n-grams (only co-occurring
@@ -108,10 +109,11 @@ def ngram_jaccard_pairs(
     ``max_df``: document-frequency cap on the inverted index — n-grams
     appearing in more than ``max_df`` docs (boilerplate, stopword runs) are
     EXCLUDED from candidate generation, killing the quadratic hot-bucket a
-    skewed shingle creates at scale (standard prefix filtering; the count of
-    dropped grams is logged). Scoring still uses the FULL gram sets, so
-    surviving pairs get their exact jaccard; pairs sharing only hot grams
-    are missed (the documented lossy tradeoff)."""
+    skewed shingle creates at scale (standard prefix filtering). Scoring
+    still uses the FULL gram sets, so surviving pairs get their exact
+    jaccard; pairs sharing only hot grams are missed (the documented lossy
+    tradeoff). ``log_dropped=True`` logs the dropped-gram count — that runs
+    an EXTRA eager aggregation job over the corpus, so it is opt-in."""
     grams = word_ngrams(df, text_col, id_col, n)
     if max_df is not None:
         hot = (
@@ -119,14 +121,13 @@ def ngram_jaccard_pairs(
             .agg(F.count("*").alias("df"))
             .where(F.col("df") > max_df)
         )
-        n_hot = hot.count()
-        if n_hot:
+        if log_dropped:
             import logging
 
             logging.getLogger(__name__).info(
                 "ngram_jaccard_pairs: dropping %d hot n-grams (df > %d) "
                 "from candidate generation",
-                n_hot,
+                hot.count(),
                 max_df,
             )
         idx = grams.join(hot, "ngram", "left_anti")
@@ -335,7 +336,7 @@ def embedding_near_dups_lsh(
     within candidates. Recall is tuned by bits/tables (fewer bits -> bigger
     buckets -> higher recall); truly-near pairs (cosine ~1) collide in some
     table with probability ~1. Deterministic exact-integer signatures
-    (similarity._hyperplane_sig) make the whole algorithm SQL-mirrorable.
+    (similarity.hyperplane_buckets) make the whole algorithm SQL-mirrorable.
     -> (id_a < id_b, cosine)."""
     from .similarity import hyperplane_buckets
 

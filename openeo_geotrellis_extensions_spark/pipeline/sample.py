@@ -61,8 +61,12 @@ def stratified_sample(
         thr = F.lit(_threshold_hex(frac))
         branch = (F.col(strata_col) == stratum) & (digest < thr)
         expr = branch if expr is None else (expr | branch)
-    fallback = (~F.col(strata_col).isin(*fractions.keys())) & (
-        digest < F.lit(_threshold_hex(default_fraction))
+    # NULL-safe fallback: `~isin(...)` is NULL (not true) for a NULL
+    # stratum, and WHERE drops NULL — coalesce so unknown AND null strata
+    # both take default_fraction
+    not_listed = F.coalesce(
+        ~F.col(strata_col).isin(*fractions.keys()), F.lit(True)
     )
+    fallback = not_listed & (digest < F.lit(_threshold_hex(default_fraction)))
     expr = fallback if expr is None else (expr | fallback)
     return df.where(expr)

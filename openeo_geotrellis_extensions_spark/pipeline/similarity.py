@@ -17,17 +17,14 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
-_DOT = "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * y), 0D, (acc, v) -> acc + v)"
-_NORM = "sqrt(aggregate({a}, 0D, (acc, v) -> acc + CAST(v AS DOUBLE) * v))"
-
 
 def _cosine_batch_fn(a: pd.Series, b: pd.Series) -> pd.Series:
-    """Arrow-vectorized cosine, BIT-IDENTICAL to the _DOT/_NORM SQL fold:
-    the per-dimension loop accumulates in index order, reproducing the SQL
-    aggregate's left-fold IEEE rounding exactly (numpy sum/einsum would use
-    pairwise/BLAS order and drift in the last ulps — enough to flip a
-    round-to-6dp oracle comparison). ~50x faster than the interpreted SQL
-    lambda on the rerank hot path."""
+    """Arrow-vectorized cosine, BIT-IDENTICAL to a SQL aggregate left fold
+    (and to the DuckDB oracles' list_dot_product): the per-dimension loop
+    accumulates in index order, reproducing left-fold IEEE rounding exactly
+    (numpy sum/einsum would use pairwise/BLAS order and drift in the last
+    ulps — enough to flip a round-to-6dp oracle comparison). ~50x faster
+    than an interpreted SQL lambda on the rerank hot path."""
     A = np.stack(a.to_numpy()).astype(np.float64)
     B = np.stack(b.to_numpy()).astype(np.float64)
     n = A.shape[0]
@@ -78,30 +75,6 @@ def hyperplane_coefs(table: int, bit: int, dim: int) -> list[int]:
     """Deterministic pseudo-random hyperplane coefficients, engine-portable:
     r[d] = ((table*31 + bit*131 + d*137) % 17) - 8."""
     return [((table * 31 + bit * 131 + d * 137) % 17) - 8 for d in range(dim)]
-
-
-def _hyperplane_sig(vec_col: str, bits: int, dim: int, table: int) -> F.Column:
-    """Signature = concat of sign bits of <quantize(v), r_b> with r_b from
-    :func:`hyperplane_coefs`.
-
-    The vector is quantized per-component to floor(x * 1e6) so every product
-    and partial sum is an integer-valued double well below 2^53 — the dot is
-    EXACT in IEEE arithmetic regardless of summation order, making bucket
-    membership bit-reproducible across engines (the DuckDB oracle recomputes
-    the same signatures)."""
-    bit_cols = []
-    for b in range(bits):
-        coef = (
-            f"transform(sequence(0, {dim - 1}), "
-            f"d -> CAST(({table} * 31 + {b} * 131 + d * 137) % 17 - 8 AS DOUBLE))"
-        )
-        dot = (
-            f"aggregate(zip_with({vec_col}, {coef}, "
-            f"(x, c) -> floor(CAST(x AS DOUBLE) * 1000000D) * c), "
-            f"0D, (acc, v) -> acc + v)"
-        )
-        bit_cols.append(F.when(F.expr(dot) >= 0, F.lit("1")).otherwise(F.lit("0")))
-    return F.concat(*bit_cols)
 
 
 def ivf_topk(

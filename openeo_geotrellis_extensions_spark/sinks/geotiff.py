@@ -48,10 +48,11 @@ def _level_block(
     block_off: int,
     next_ifd: int,
     reduced: bool,
-) -> bytes:
+) -> tuple[bytes, int]:
     """Serialize one IFD + out-of-line values + strip data starting at file
     offset ``block_off``; the IFD's next pointer is ``next_ifd`` (0 = last).
-    ``reduced`` marks overview levels (NewSubfileType = 1)."""
+    ``reduced`` marks overview levels (NewSubfileType = 1).
+    -> (block bytes, offset of the 4-byte next-IFD pointer within the block)."""
     import zlib
 
     nb, h, w = bands.shape
@@ -152,7 +153,7 @@ def _level_block(
         else:
             ifd += struct.pack("<HHII", tag, typ, cnt, int(val))
     ifd += struct.pack("<I", next_ifd)
-    return ifd + bytes(extra) + b"".join(strips)
+    return ifd + bytes(extra) + b"".join(strips), 2 + n * 12
 
 
 def write_geotiff(
@@ -184,26 +185,21 @@ def write_geotiff(
             levels.append(cur)
 
     # serialize sequentially; each block = [IFD][extra][strips], next-IFD
-    # pointer chains to the following block
+    # pointer chains to the following block (patched in place — no
+    # re-serialize, so Deflate runs once per level)
     blocks = []
     off = 8
     for i, lv in enumerate(levels):
         last = i == len(levels) - 1
-        # two-pass: sizes don't depend on the next_ifd value, so measure
-        # with next_ifd=0 then re-serialize with the real pointer
-        probe = _level_block(
+        block, ptr_off = _level_block(
             lv, extent, nodata, epsg, compression, rows_per_strip, off, 0, i > 0
         )
-        next_ifd = 0 if last else off + len(probe)
-        blocks.append(
-            probe
-            if last
-            else _level_block(
-                lv, extent, nodata, epsg, compression, rows_per_strip, off,
-                next_ifd, i > 0,
-            )
-        )
-        off += len(probe)
+        if not last:
+            patched = bytearray(block)
+            patched[ptr_off : ptr_off + 4] = struct.pack("<I", off + len(block))
+            block = bytes(patched)
+        blocks.append(block)
+        off += len(block)
 
     header = struct.pack("<2sHI", b"II", 42, 8)
     with open(path, "wb") as f:
@@ -261,14 +257,15 @@ def _read_ifd(
     dt = np.dtype(f"<{kind}{bits // 8}")
     offs = vals(273)
     counts = vals(279)
-    raw = b"".join(buf[o : o + c] for o, c in zip(offs, counts))
     if comp == 8:
         import zlib
 
         raw = b"".join(
             zlib.decompress(buf[o : o + c]) for o, c in zip(offs, counts)
         )
-    elif comp != 1:
+    elif comp == 1:
+        raw = b"".join(buf[o : o + c] for o, c in zip(offs, counts))
+    else:
         raise ValueError(f"unsupported TIFF compression {comp}")
     arr = np.frombuffer(raw, dtype=dt).reshape(h, w, nb)
     sx, sy = val(33550, 0), val(33550, 1)
@@ -386,22 +383,22 @@ def save_sample_geotiffs(cube: DataCube, features, out_dir: str) -> pd.DataFrame
     def write_sample(pdf: pd.DataFrame) -> pd.DataFrame:
         fi = int(pdf["feature_index"].iloc[0])
         date = pdf["time"].iloc[0].strftime("%Y-%m-%d") if temporal else "static"
-        cols = sorted(pdf["col"].unique())
-        rows = sorted(pdf["row"].unique())
-        full = np.full((nb, len(rows) * th, len(cols) * tw), np.nan)
-        cpos = {c: i for i, c in enumerate(cols)}
-        rpos = {r: i for i, r in enumerate(rows)}
+        # position tiles by KEY VALUE within the full min..max range — a gap
+        # in the key set (interior all-nodata tile dropped upstream) must
+        # stay a nodata hole, not collapse and shift georeferencing
+        c0, r0 = int(pdf["col"].min()), int(pdf["row"].min())
+        nc = int(pdf["col"].max()) - c0 + 1
+        nr = int(pdf["row"].max()) - r0 + 1
+        full = np.full((nb, nr * th, nc * tw), np.nan)
         for rec in pdf.itertuples(index=False):
             stack = decode_tile_float(list(rec.bands), ct, (th, tw))
-            ro = rpos[rec.row] * th
-            co = cpos[rec.col] * tw
+            ro = (int(rec.row) - r0) * th
+            co = (int(rec.col) - c0) * tw
             full[:, ro : ro + th, co : co + tw] = stack
         out = np.stack([ct.from_float_nan(full[b]) for b in range(nb)])
-        x0 = ld.extent.xmin + min(cols) * ld.tile_width
-        y1 = ld.extent.ymax - min(rows) * ld.tile_height
-        ext = Extent(
-            x0, y1 - len(rows) * ld.tile_height, x0 + len(cols) * ld.tile_width, y1
-        )
+        x0 = ld.extent.xmin + c0 * ld.tile_width
+        y1 = ld.extent.ymax - r0 * ld.tile_height
+        ext = Extent(x0, y1 - nr * ld.tile_height, x0 + nc * ld.tile_width, y1)
         path = os.path.join(out_dir, f"sample_{fi}_{date}.tif")
         write_geotiff(path, out, ext, nodata=ct.nodata)
         return pd.DataFrame(

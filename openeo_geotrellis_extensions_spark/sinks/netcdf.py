@@ -68,7 +68,9 @@ def write_netcdf(
         plane = data[:, b].astype(np.float32)
         plane = np.where(np.isnan(plane), fill, plane)
         variables.append(
-            NcVar(name, "float", ["t", "y", "x"], plane, {"_FillValue": float(fill)})
+            # _FillValue typed float32 to match the NC_FLOAT variable
+            # (netCDF/CF requires the attribute type to equal the var type)
+            NcVar(name, "float", ["t", "y", "x"], plane, {"_FillValue": fill})
         )
     atts = {"Conventions": "CF-1.8", **(global_atts or {})}
     return write_cdf1(path, dims, variables, atts)
@@ -109,25 +111,28 @@ def save_netcdf(cube: DataCube, path: str) -> str:
         raise ValueError("empty cube")
     temporal = cube.meta.temporal
     times = sorted({r.time for r in rows}) if temporal else [None]
-    cols_ = sorted({r.col for r in rows})
-    rows_ = sorted({r.row for r in rows})
-    ny, nx = len(rows_) * th, len(cols_) * tw
+    # place tiles by KEY VALUE over the min..max key range: gaps in the key
+    # set (dropped all-nodata tiles) remain nodata holes so the CF
+    # coordinate arrays stay aligned with the data
+    c0 = min(r.col for r in rows)
+    r0 = min(r.row for r in rows)
+    nc = max(r.col for r in rows) - c0 + 1
+    nr = max(r.row for r in rows) - r0 + 1
+    ny, nx = nr * th, nc * tw
     if len(times) * nb * ny * nx > MAX_SINGLE_FILE_PIXELS:
         raise ValueError(
             "cube too large for single-file netCDF driver assembly; "
             "use save_samples (distributed, one file per feature)"
         )
     tpos = {t: i for i, t in enumerate(times)}
-    cpos = {c: i for i, c in enumerate(cols_)}
-    rpos = {r: i for i, r in enumerate(rows_)}
     data = np.full((len(times), nb, ny, nx), np.nan)
     for rec in rows:
         stack = decode_tile_float(list(rec.bands), ct, (th, tw))
         ti = tpos[rec.time] if temporal else 0
-        ro, co = rpos[rec.row] * th, cpos[rec.col] * tw
+        ro, co = (rec.row - r0) * th, (rec.col - c0) * tw
         data[ti, :, ro : ro + th, co : co + tw] = stack
-    x0 = ld.extent.xmin + min(cols_) * ld.tile_width
-    y1 = ld.extent.ymax - min(rows_) * ld.tile_height
+    x0 = ld.extent.xmin + c0 * ld.tile_width
+    y1 = ld.extent.ymax - r0 * ld.tile_height
     coords = {
         "t": [t if temporal else "1970-01-01" for t in times],
         "x": x0 + (np.arange(nx) + 0.5) * ld.cell_width,
@@ -159,21 +164,21 @@ def save_samples(cube: DataCube, features, out_dir: str) -> pd.DataFrame:
     def write_sample(pdf: pd.DataFrame) -> pd.DataFrame:
         fi = int(pdf["feature_index"].iloc[0])
         times = sorted(pdf["time"].unique())
-        cols = sorted(pdf["col"].unique())
-        rows = sorted(pdf["row"].unique())
-        cpos = {c: i for i, c in enumerate(cols)}
-        rpos = {r: i for i, r in enumerate(rows)}
         tpos = {t: i for i, t in enumerate(times)}
-        ny, nx = len(rows) * th, len(cols) * tw
+        # key-value placement (see save_netcdf): gaps stay nodata holes
+        c0, r0 = int(pdf["col"].min()), int(pdf["row"].min())
+        nc = int(pdf["col"].max()) - c0 + 1
+        nr = int(pdf["row"].max()) - r0 + 1
+        ny, nx = nr * th, nc * tw
         data = np.full((len(times), nb, ny, nx), np.nan)
         for rec in pdf.itertuples(index=False):
             stack = decode_tile_float(list(rec.bands), ct, (th, tw))
             ti = tpos[rec.time]
-            ro = rpos[rec.row] * th
-            co = cpos[rec.col] * tw
+            ro = (int(rec.row) - r0) * th
+            co = (int(rec.col) - c0) * tw
             data[ti, :, ro : ro + th, co : co + tw] = stack
-        x0 = ld.extent.xmin + min(cols) * ld.tile_width
-        y1 = ld.extent.ymax - min(rows) * ld.tile_height
+        x0 = ld.extent.xmin + c0 * ld.tile_width
+        y1 = ld.extent.ymax - r0 * ld.tile_height
         path = os.path.join(out_dir, f"sample_{fi}.nc")
         write_netcdf(
             path,

@@ -46,13 +46,17 @@ def _name(s: str) -> bytes:
 
 
 def _att_value_bytes(value) -> tuple[int, int, bytes]:
-    """-> (nc_type tag, nelems, padded bytes) for an attribute value."""
+    """-> (nc_type tag, nelems, padded bytes) for an attribute value.
+    Attribute nc_type follows the value's numpy dtype (float32 -> NC_FLOAT),
+    so e.g. _FillValue can match its variable's type as netCDF/CF requires."""
     if isinstance(value, str):
         raw = value.encode("utf-8")
         return _TYPES["char"][0], len(raw), _pad4(raw)
     arr = np.atleast_1d(np.asarray(value))
     if arr.dtype.kind == "i":
         return _TYPES["int"][0], arr.size, _pad4(arr.astype(">i4").tobytes())
+    if arr.dtype == np.float32:
+        return _TYPES["float"][0], arr.size, _pad4(arr.astype(">f4").tobytes())
     return _TYPES["double"][0], arr.size, _pad4(arr.astype(">f8").tobytes())
 
 

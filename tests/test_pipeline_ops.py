@@ -244,3 +244,21 @@ def test_deterministic_sample_properties(spark):
     by = {r["s"]: r["count"] for r in out.groupBy("s").count().collect()}
     assert by["even"] == 2000
     assert abs(by.get("odd", 0) / 2000 - 0.25) < 0.06
+
+
+def test_stratified_sample_null_stratum_takes_default(spark):
+    """NULL strata must take default_fraction, not silently drop
+    (round-2 review finding: ~isin(...) is NULL for NULL input)."""
+    from openeo_geotrellis_extensions_spark.pipeline.sample import (
+        stratified_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "b"), (4, None)], ["k", "s"]
+    )
+    kept = stratified_sample(
+        df, "s", {"a": 1.0}, key_col="k", default_fraction=1.0
+    )
+    assert {r.k for r in kept.collect()} == {1, 2, 3, 4}  # null + unknown strata keep default 1.0
+    none_kept = stratified_sample(df, "s", {"a": 1.0}, key_col="k", default_fraction=0.0)
+    assert {r.k for r in none_kept.collect()} == {1}

@@ -312,3 +312,40 @@ def test_cdf1_property_roundtrip():
         np.testing.assert_array_equal(v["atts"]["vec_att"], [1, 2, 3])
 
     case()
+
+
+def test_sparse_key_set_keeps_georeferencing(spark, tmp_path):
+    """A gap in the tile key set (interior all-nodata tile dropped upstream)
+    must stay a nodata hole — tiles past the gap keep their true geographic
+    position in both the GeoTIFF and netCDF sinks (round-2 review finding)."""
+    from pyspark.sql import functions as F
+
+    from openeo_geotrellis_extensions_spark.sinks.geotiff import (
+        read_geotiff,
+        save_sample_geotiffs,
+    )
+    from openeo_geotrellis_extensions_spark.sinks.netcdf import (
+        read_netcdf,
+        save_samples,
+    )
+
+    wide = LayoutDefinition(Extent(0.0, 0.0, 3.0, 1.0), 3, 1, 8, 8)
+    cube = arithmetic_cube(spark, wide, n_bands=1, cell_type="int32")
+    gap = type(cube)(cube.df.where(F.col("col") != 1), cube.meta)  # drop col 1
+    feats = spark.createDataFrame(
+        [(0, json.dumps({"type": "Polygon", "coordinates":
+                         [[[0.1, 0.1], [2.9, 0.1], [2.9, 0.9], [0.1, 0.9], [0.1, 0.1]]]}))],
+        ["feature_index", "geojson"],
+    )
+    idx = save_sample_geotiffs(gap, feats, str(tmp_path / "tiffs"))
+    bands, ext, nd = read_geotiff(idx.iloc[0]["path"])
+    assert bands.shape == (1, 8, 24)          # full col 0..2 span, not collapsed
+    assert ext == Extent(0.0, 0.0, 3.0, 1.0)
+    assert (bands[0, :, 8:16] == nd).all()    # the gap is nodata
+    assert not (bands[0, :, 16:24] == nd).all()  # col 2 data at its true x
+
+    idx2 = save_samples(gap, feats, str(tmp_path / "ncs"))
+    data, coords = read_netcdf(idx2.iloc[0]["path"])
+    assert data.shape[-1] == 24
+    assert np.isnan(data[0, 0, :, 8:16]).all()
+    assert coords["x"][16] == 2.0 + 0.5 * (1.0 / 8)  # col-2 pixel 0 true center
