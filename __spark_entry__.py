@@ -786,6 +786,43 @@ _ORACLE_TFIDF = r"""
 """
 
 
+def _q_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters: duplicate-line fraction + top-bigram
+    occupancy per document (boilerplate detectors)."""
+    from openeo_geotrellis_extensions_spark.pipeline.text import repetition_scores
+
+    docs = spark.read.parquet(_DOCS.format(sf=sf_dir))
+    return repetition_scores(docs).select(
+        F.col("id").cast("long").alias("id"),
+        F.col("n_lines").cast("int").alias("n_lines"),
+        "dup_line_frac",
+        "top_ngram_frac",
+    )
+
+
+_ORACLE_REPETITION = r"""
+    WITH base AS (
+        SELECT doc_id AS id,
+               CAST(len(string_split(text, chr(10))) AS INT) AS n_lines,
+               ROUND(1.0 - len(list_distinct(string_split(text, chr(10)))) * 1.0
+                           / len(string_split(text, chr(10))), 6) AS dup_line_frac
+        FROM documents
+    ),
+    w AS (SELECT doc_id AS id,
+                 string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS words
+          FROM documents),
+    grams AS (
+        SELECT id, list_aggregate(words[i:i+1], 'string_agg', ' ') AS g
+        FROM w, unnest(range(1, len(words))) t(i)
+    ),
+    per_gram AS (SELECT id, g, COUNT(*) AS c FROM grams GROUP BY 1, 2),
+    top AS (SELECT id, MAX(c) AS top_c, SUM(c) AS total_c FROM per_gram GROUP BY 1)
+    SELECT b.id, b.n_lines, b.dup_line_frac,
+           COALESCE(ROUND(t.top_c * 1.0 / t.total_c, 6), 0.0) AS top_ngram_frac
+    FROM base b LEFT JOIN top t ON t.id = b.id
+"""
+
+
 def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Length-stratified deterministic sampling: content-keyed md5-threshold
     keep decisions (stable under repartitioning, engine-portable — the
@@ -1580,6 +1617,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": _q_text_quality,
         "tfidf": _q_tfidf,
         "stratified_sample": _q_stratified_sample,
+        "repetition_quality": _q_repetition_quality,
         "dedup_exact": _q_dedup_exact,
         "ngram_jaccard": _q_ngram_jaccard,
         "ngram_jaccard_capped": _q_ngram_jaccard_capped,
@@ -1621,6 +1659,7 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": _oracle_text_quality(),
         "tfidf": _ORACLE_TFIDF,
         "stratified_sample": _oracle_stratified_sample(),
+        "repetition_quality": _ORACLE_REPETITION,
         "dedup_exact": _ORACLE_DEDUP_EXACT,
         "ngram_jaccard": _ORACLE_NGRAM_JACCARD,
         "ngram_jaccard_capped": _ORACLE_NGRAM_JACCARD_CAPPED,

@@ -148,3 +148,50 @@ def tfidf_top_terms(
         .where(F.col("rank") <= top_k)
         .select("id", "term", "score", "rank")
     )
+
+
+def repetition_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram_n: int = 2,
+) -> DataFrame:
+    """Gopher-style within-document repetition signals (Rae et al. 2021,
+    'Scaling Language Models' quality rules — public):
+
+      - dup_line_frac: fraction of lines that are duplicates of an earlier
+        line (1 - distinct/total), pure Column expressions;
+      - top_ngram_frac: fraction of all word n-gram OCCURRENCES taken by the
+        single most frequent n-gram (boilerplate detector), via
+        explode + count + max — all map-side combinable aggregations.
+
+    -> (id, n_lines, dup_line_frac, top_ngram_frac). Documents shorter than
+    ``ngram_n`` words get top_ngram_frac 0.0."""
+    t = F.col(text_col)
+    lines = F.split(t, "\n")
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.size(lines).alias("n_lines"),
+        F.round(
+            1.0 - F.size(F.array_distinct(lines)) / F.size(lines), 6
+        ).alias("dup_line_frac"),
+    )
+    grams = F.expr(
+        f"CASE WHEN size(split(regexp_replace(lower(trim({text_col})), '\\\\s+', ' '), ' ')) < {ngram_n} "
+        f"THEN array() "
+        f"ELSE transform(sequence(0, size(split(regexp_replace(lower(trim({text_col})), '\\\\s+', ' '), ' ')) - {ngram_n}), "
+        f"i -> array_join(slice(split(regexp_replace(lower(trim({text_col})), '\\\\s+', ' '), ' '), i + 1, {ngram_n}), ' ')) END"
+    )
+    exploded = df.select(F.col(id_col).alias("id"), F.explode(grams).alias("g"))
+    per_gram = exploded.groupBy("id", "g").agg(F.count("*").alias("c"))
+    top = per_gram.groupBy("id").agg(
+        F.max("c").alias("top_c"), F.sum("c").alias("total_c")
+    )
+    return base.join(top, "id", "left").select(
+        "id",
+        "n_lines",
+        "dup_line_frac",
+        F.coalesce(
+            F.round(F.col("top_c") / F.col("total_c"), 6), F.lit(0.0)
+        ).alias("top_ngram_frac"),
+    )

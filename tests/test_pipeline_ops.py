@@ -262,3 +262,26 @@ def test_stratified_sample_null_stratum_takes_default(spark):
     assert {r.k for r in kept.collect()} == {1, 2, 3, 4}  # null + unknown strata keep default 1.0
     none_kept = stratified_sample(df, "s", {"a": 1.0}, key_col="k", default_fraction=0.0)
     assert {r.k for r in none_kept.collect()} == {1}
+
+
+def test_repetition_scores_hand_checked(spark):
+    """Gopher repetition rules on a crafted corpus: duplicate lines and
+    dominant bigrams detected; short docs get top_ngram_frac 0."""
+    from openeo_geotrellis_extensions_spark.pipeline.text import repetition_scores
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b\na b\nc d"),          # 3 lines, 1 dup; bigrams of 'a b a b c d'
+            (1, "x y x y x y"),            # top bigram 'y x'/'x y' dominance
+            (2, "single"),                 # 1 word -> no bigrams
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.id: r for r in repetition_scores(docs).collect()}
+    assert out[0].n_lines == 3
+    assert abs(out[0].dup_line_frac - round(1 - 2 / 3, 6)) < 1e-9
+    # doc1: words x y x y x y -> bigrams: 'x y' x3, 'y x' x2 -> top 3/5
+    assert abs(out[1].top_ngram_frac - 0.6) < 1e-9
+    assert out[2].top_ngram_frac == 0.0
+    # doc0 normalized words: 'a b a b c d' -> bigrams a b, b a, a b, b c, c d -> top 2/5
+    assert abs(out[0].top_ngram_frac - 0.4) < 1e-9
