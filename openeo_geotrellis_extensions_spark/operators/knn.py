@@ -57,6 +57,8 @@ def knn_join(
 ) -> DataFrame:
     """Exact k nearest points (Euclidean, planar) for each query.
     -> (query_id, neighbor_id, dist, rank)."""
+    if max_rounds < 1:
+        raise ValueError("max_rounds must be >= 1")
     pts = points.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(x_col).alias("px"),

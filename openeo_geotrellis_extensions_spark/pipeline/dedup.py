@@ -29,20 +29,30 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     return keyed.join(grp, "h").select("id", "canonical_id", "group_size")
 
 
-def word_ngrams(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
-    """Distinct word n-grams per document: (id, ngram)."""
+def ngram_expr(text_col: str, n: int) -> str:
+    """SQL expression producing the array of word n-grams of a normalized
+    text column — THE single definition shared by dedup, minhash, and the
+    repetition quality filters (and mirrored by the DuckDB oracles), so the
+    normalization can never drift between consumers.
+    Guard: Spark sequence(0, -1) is DESCENDING, so short docs need an
+    explicit empty-array branch."""
     norm = _NORM.format(col=text_col)
-    # guard: Spark sequence(0, -1) is DESCENDING, so short docs need an
-    # explicit empty-array branch
-    grams = F.expr(
+    return (
         f"CASE WHEN size(split({norm}, ' ')) < {n} THEN array() "
         f"ELSE transform(sequence(0, size(split({norm}, ' ')) - {n}), "
         f"i -> array_join(slice(split({norm}, ' '), i + 1, {n}), ' ')) END"
     )
-    return (
-        df.select(F.col(id_col).alias("id"), F.explode(grams).alias("ngram"))
-        .distinct()
+
+
+def word_ngrams(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3, distinct: bool = True
+) -> DataFrame:
+    """Word n-grams per document: (id, ngram); ``distinct`` dedupes per doc
+    (set semantics for Jaccard; pass False for occurrence counts)."""
+    out = df.select(
+        F.col(id_col).alias("id"), F.explode(F.expr(ngram_expr(text_col, n))).alias("ngram")
     )
+    return out.distinct() if distinct else out
 
 
 def jaccard_verify(

@@ -176,14 +176,10 @@ def repetition_scores(
             1.0 - F.size(F.array_distinct(lines)) / F.size(lines), 6
         ).alias("dup_line_frac"),
     )
-    grams = F.expr(
-        f"CASE WHEN size(split(regexp_replace(lower(trim({text_col})), '\\\\s+', ' '), ' ')) < {ngram_n} "
-        f"THEN array() "
-        f"ELSE transform(sequence(0, size(split(regexp_replace(lower(trim({text_col})), '\\\\s+', ' '), ' ')) - {ngram_n}), "
-        f"i -> array_join(slice(split(regexp_replace(lower(trim({text_col})), '\\\\s+', ' '), ' '), i + 1, {ngram_n}), ' ')) END"
-    )
-    exploded = df.select(F.col(id_col).alias("id"), F.explode(grams).alias("g"))
-    per_gram = exploded.groupBy("id", "g").agg(F.count("*").alias("c"))
+    from .dedup import word_ngrams
+
+    exploded = word_ngrams(df, text_col, id_col, n=ngram_n, distinct=False)
+    per_gram = exploded.groupBy("id", "ngram").agg(F.count("*").alias("c"))
     top = per_gram.groupBy("id").agg(
         F.max("c").alias("top_c"), F.sum("c").alias("total_c")
     )

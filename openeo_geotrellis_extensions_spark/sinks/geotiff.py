@@ -376,19 +376,25 @@ def save_sample_geotiffs(cube: DataCube, features, out_dir: str) -> pd.DataFrame
     th, tw = ld.tile_rows, ld.tile_cols
     temporal = cube.meta.temporal
 
-    fkeys = F.broadcast(feature_tile_keys(features, ld))
-    joined = cube.df.join(fkeys, ["col", "row"], "inner")
+    fkeys = feature_tile_keys(features, ld)
+    # bounds come from the feature's FULL key cover, not the surviving
+    # tiles: a dropped all-nodata tile (interior OR boundary) must stay a
+    # nodata hole so every (feature, date) file shares one shape/extent
+    fbounds = fkeys.groupBy("feature_index").agg(
+        F.min("col").alias("_fc0"), F.max("col").alias("_fc1"),
+        F.min("row").alias("_fr0"), F.max("row").alias("_fr1"),
+    )
+    joined = cube.df.join(F.broadcast(fkeys), ["col", "row"], "inner").join(
+        F.broadcast(fbounds), "feature_index"
+    )
     keys = ["feature_index"] + (["time"] if temporal else [])
 
     def write_sample(pdf: pd.DataFrame) -> pd.DataFrame:
         fi = int(pdf["feature_index"].iloc[0])
         date = pdf["time"].iloc[0].strftime("%Y-%m-%d") if temporal else "static"
-        # position tiles by KEY VALUE within the full min..max range — a gap
-        # in the key set (interior all-nodata tile dropped upstream) must
-        # stay a nodata hole, not collapse and shift georeferencing
-        c0, r0 = int(pdf["col"].min()), int(pdf["row"].min())
-        nc = int(pdf["col"].max()) - c0 + 1
-        nr = int(pdf["row"].max()) - r0 + 1
+        c0, r0 = int(pdf["_fc0"].iloc[0]), int(pdf["_fr0"].iloc[0])
+        nc = int(pdf["_fc1"].iloc[0]) - c0 + 1
+        nr = int(pdf["_fr1"].iloc[0]) - r0 + 1
         full = np.full((nb, nr * th, nc * tw), np.nan)
         for rec in pdf.itertuples(index=False):
             stack = decode_tile_float(list(rec.bands), ct, (th, tw))

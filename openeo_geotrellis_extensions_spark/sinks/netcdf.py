@@ -158,17 +158,24 @@ def save_samples(cube: DataCube, features, out_dir: str) -> pd.DataFrame:
 
     from pyspark.sql import functions as F
 
-    fkeys = F.broadcast(feature_tile_keys(features, ld))
-    joined = cube.df.join(fkeys, ["col", "row"], "inner")
+    fkeys = feature_tile_keys(features, ld)
+    # bounds from the feature's FULL key cover (see save_sample_geotiffs):
+    # dropped boundary tiles must not shrink/shift the sample array
+    fbounds = fkeys.groupBy("feature_index").agg(
+        F.min("col").alias("_fc0"), F.max("col").alias("_fc1"),
+        F.min("row").alias("_fr0"), F.max("row").alias("_fr1"),
+    )
+    joined = cube.df.join(F.broadcast(fkeys), ["col", "row"], "inner").join(
+        F.broadcast(fbounds), "feature_index"
+    )
 
     def write_sample(pdf: pd.DataFrame) -> pd.DataFrame:
         fi = int(pdf["feature_index"].iloc[0])
         times = sorted(pdf["time"].unique())
         tpos = {t: i for i, t in enumerate(times)}
-        # key-value placement (see save_netcdf): gaps stay nodata holes
-        c0, r0 = int(pdf["col"].min()), int(pdf["row"].min())
-        nc = int(pdf["col"].max()) - c0 + 1
-        nr = int(pdf["row"].max()) - r0 + 1
+        c0, r0 = int(pdf["_fc0"].iloc[0]), int(pdf["_fr0"].iloc[0])
+        nc = int(pdf["_fc1"].iloc[0]) - c0 + 1
+        nr = int(pdf["_fr1"].iloc[0]) - r0 + 1
         ny, nx = nr * th, nc * tw
         data = np.full((len(times), nb, ny, nx), np.nan)
         for rec in pdf.itertuples(index=False):
