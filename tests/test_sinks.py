@@ -349,3 +349,40 @@ def test_sparse_key_set_keeps_georeferencing(spark, tmp_path):
     assert data.shape[-1] == 24
     assert np.isnan(data[0, 0, :, 8:16]).all()
     assert coords["x"][16] == 2.0 + 0.5 * (1.0 / 8)  # col-2 pixel 0 true center
+
+
+def test_sample_shapes_consistent_when_boundary_tile_missing_one_date(spark, tmp_path):
+    """A BOUNDARY tile dropped for one date only must not shrink that date's
+    sample: all per-date files share the feature's full shape and extent
+    (second-pass review finding)."""
+    from pyspark.sql import functions as F
+
+    from openeo_geotrellis_extensions_spark.sinks.geotiff import (
+        read_geotiff,
+        save_sample_geotiffs,
+    )
+
+    wide = LayoutDefinition(Extent(0.0, 0.0, 3.0, 1.0), 3, 1, 8, 8)
+    cube = arithmetic_cube(spark, wide, n_bands=1, cell_type="int32")
+    # drop the WESTMOST tile (col 0) on the first date only
+    holed = type(cube)(
+        cube.df.where(
+            ~((F.col("col") == 0) & (F.to_date("time") == DATES[0]))
+        ),
+        cube.meta,
+    )
+    feats = spark.createDataFrame(
+        [(0, json.dumps({"type": "Polygon", "coordinates":
+                         [[[0.1, 0.1], [2.9, 0.1], [2.9, 0.9], [0.1, 0.9], [0.1, 0.1]]]}))],
+        ["feature_index", "geojson"],
+    )
+    idx = save_sample_geotiffs(holed, feats, str(tmp_path / "tiffs"))
+    assert len(idx) == len(DATES)
+    shapes, extents = set(), set()
+    for _, row in idx.iterrows():
+        bands, ext, nd = read_geotiff(row["path"])
+        shapes.add(bands.shape)
+        extents.add(ext)
+        if row["date"] == DATES[0]:
+            assert (bands[0, :, 0:8] == nd).all()  # hole stays nodata
+    assert shapes == {(1, 8, 24)} and extents == {Extent(0.0, 0.0, 3.0, 1.0)}
