@@ -115,7 +115,7 @@ def run_pipelines(spark: SparkSession, n_docs: int) -> dict[str, float]:
 
 
 def bench_once(
-    cpus: int, n_docs: int, warmup: bool = True, repeats: int = 3
+    cpus: int, n_docs: int, warmup: bool = True, repeats: int = 5
 ) -> dict[str, float]:
     """Warmup pass (spawns/reuses Python UDF workers) then ``repeats`` timed
     runs, reporting the per-stage minimum — this host shows heavy
