@@ -425,6 +425,84 @@ _PROCESSES: dict[str, Callable] = {
     "quantiles": _quantiles,
 }
 
+# openEO alias (:1173-1192 routes 'absolute' to the same unary op as 'abs')
+_PROCESSES["absolute"] = _PROCESSES["abs"]
+
+
+def _log_process(level: str):
+    """inspect/debug/warning/error (:1214-1220 region): log the message and
+    pass ``data`` through unchanged — side-effect-only processes."""
+
+    def impl(data=None, message=None, code=None, level_arg=None, **_kw):
+        import logging
+
+        logging.getLogger("openeo.processes").log(
+            getattr(logging, level.upper(), logging.INFO),
+            "%s %s", code or "", message if message is not None else "",
+        )
+        return data
+
+    return impl
+
+
+_PROCESSES["inspect"] = _log_process("info")
+_PROCESSES["debug"] = _log_process("debug")
+_PROCESSES["warning"] = _log_process("warning")
+_PROCESSES["error"] = _log_process("error")
+
+
+def _pixels_features(data) -> tuple[np.ndarray, tuple]:
+    """(bands, ...) band stack -> (pixels x features matrix, spatial shape)."""
+    a = np.asarray(data, dtype=np.float64)
+    if a.ndim == 1:
+        return a[None, :], ()
+    return np.moveaxis(a, 0, -1).reshape(-1, a.shape[0]), a.shape[1:]
+
+
+def _p_predict_random_forest(data, model):
+    """Per-pixel RF inference (OpenEOProcessScriptBuilder.scala:1211):
+    ``model`` is the numpy dump from pipeline.ml.rf_to_arrays (plain dict —
+    broadcast-friendly, no JVM model in the closure)."""
+    from ..pipeline.ml import eval_random_forest
+
+    X, shape = _pixels_features(data)
+    pred, _ = eval_random_forest(model, X)
+    return pred.reshape(shape) if shape else float(pred[0])
+
+
+def _p_predict_catboost(data, model):
+    """Per-pixel CatBoost inference (:1212): ``model`` is a CatBoost JSON
+    dump dict (or pre-parsed via pipeline.ml.parse_catboost_json)."""
+    from ..pipeline.ml import eval_catboost, parse_catboost_json
+
+    parsed = model if "scale" in model else parse_catboost_json(model)
+    X, shape = _pixels_features(data)
+    raw = eval_catboost(parsed, X)
+    return raw.reshape(shape) if shape else float(raw[0])
+
+
+def _p_predict_probabilities(data, model):
+    """Per-pixel class probabilities (:1213): RF numpy dumps yield the
+    (classes, y, x) probability stack; CatBoost dumps yield the sigmoid of
+    the raw score."""
+    X, shape = _pixels_features(data)
+    if "n_classes" in model:
+        from ..pipeline.ml import eval_random_forest
+
+        _, probs = eval_random_forest(model, X)
+        return probs.T.reshape((probs.shape[1],) + shape) if shape else probs[0]
+    from ..pipeline.ml import eval_catboost, parse_catboost_json
+
+    parsed = model if "scale" in model else parse_catboost_json(model)
+    raw = eval_catboost(parsed, X)
+    p = 1.0 / (1.0 + np.exp(-raw))
+    return p.reshape(shape) if shape else float(p[0])
+
+
+_PROCESSES["predict_random_forest"] = _p_predict_random_forest
+_PROCESSES["predict_catboost"] = _p_predict_catboost
+_PROCESSES["predict_probabilities"] = _p_predict_probabilities
+
 #: processes whose result cell type is boolean (reference: comparison/logical
 #: ops yield Bit tiles)
 _BOOL_OUT = {"gt", "lt", "gte", "lte", "eq", "neq", "between", "not", "and",

@@ -137,3 +137,71 @@ def predict_catboost(
         return pd.Series(raw)
 
     return df.withColumn(prediction_col, _predict(F.col(feature_col)))
+
+
+def rf_to_arrays(model: RandomForestClassificationModel) -> dict:
+    """Extract a fitted pyspark.ml random forest into plain numpy arrays
+    (per tree: feature/threshold/left/right per node, leaf class-count
+    rows) so inference can run inside numpy closures/executors without the
+    JVM model — the bridge that lets process graphs dispatch
+    predict_random_forest per pixel (OpenEOProcessScriptBuilder.scala:1211).
+    Continuous splits only (our features are embeddings)."""
+    trees = []
+    n_classes = int(model.numClasses)
+    for t in model.trees:
+        feats: list[int] = []
+        thr: list[float] = []
+        left: list[int] = []
+        right: list[int] = []
+        stats: list[list[float]] = []
+
+        def add(node) -> int:
+            i = len(feats)
+            feats.append(-1)
+            thr.append(0.0)
+            left.append(-1)
+            right.append(-1)
+            stats.append([float(x) for x in node.impurityStats().stats()])
+            if "InternalNode" in node.getClass().getName():
+                sp = node.split()
+                feats[i] = int(sp.featureIndex())
+                thr[i] = float(sp.threshold())
+                left[i] = add(node.leftChild())
+                right[i] = add(node.rightChild())
+            return i
+
+        add(t._call_java("rootNode"))
+        counts = np.asarray(stats, dtype=np.float64)
+        probs = counts / counts.sum(axis=1, keepdims=True)
+        trees.append(
+            {
+                "feat": np.asarray(feats, dtype=np.int64),
+                "thr": np.asarray(thr, dtype=np.float64),
+                "left": np.asarray(left, dtype=np.int64),
+                "right": np.asarray(right, dtype=np.int64),
+                "probs": probs,
+            }
+        )
+    return {"trees": trees, "n_classes": n_classes}
+
+
+def eval_random_forest(parsed: dict, X: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized forest inference matching Spark's semantics: per-tree leaf
+    class distributions averaged across trees; prediction = argmax (first
+    max on ties, like Spark's Vector.argmax). -> (pred[n], probs[n, classes])."""
+    n = X.shape[0]
+    acc = np.zeros((n, parsed["n_classes"]), dtype=np.float64)
+    for t in parsed["trees"]:
+        idx = np.zeros(n, dtype=np.int64)
+        feat, thr, left, right = t["feat"], t["thr"], t["left"], t["right"]
+        while True:
+            f = feat[idx]
+            internal = f >= 0
+            if not internal.any():
+                break
+            go_left = X[np.arange(n), np.where(internal, f, 0)] <= thr[idx]
+            nxt = np.where(go_left, left[idx], right[idx])
+            idx = np.where(internal, nxt, idx)
+        acc += t["probs"][idx]
+    probs = acc / len(parsed["trees"])
+    return probs.argmax(axis=1).astype(np.float64), probs

@@ -187,3 +187,87 @@ def test_predict_catboost_oblivious_trees(spark):
     np.testing.assert_allclose(eval_catboost(parsed, X), [want[0], want[1], want[2]])
     plan = predict_catboost(df, model)._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" in plan  # vectorized, not row-at-a-time
+
+
+def test_process_graph_ml_inference_dispatch(spark):
+    """predict_random_forest / predict_catboost / predict_probabilities
+    dispatch from a process graph per pixel
+    (OpenEOProcessScriptBuilder.scala:1211-1213 parity): the RF numpy dump
+    evaluated through reduce_bands matches pyspark.ml's own transform on the
+    same feature vectors."""
+    from openeo_geotrellis_extensions_spark.functions.process_compiler import (
+        compile_process_graph,
+    )
+    from openeo_geotrellis_extensions_spark.pipeline.ml import (
+        eval_random_forest,
+        fit_class_random_forest,
+        predict_random_forest,
+        rf_to_arrays,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    train = emb.withColumn("label", (F.col("vec_id") % 3).cast("double"))
+    model = fit_class_random_forest(train, num_trees=5, max_depth=4)
+    parsed = rf_to_arrays(model)
+
+    rows = predict_random_forest(emb, model).collect()
+    X = np.stack([np.array(r.embedding, dtype=np.float64) for r in rows])
+    want = {r.vec_id: r.prediction for r in rows}
+
+    graph = {
+        "p": {
+            "process_id": "predict_random_forest",
+            "arguments": {
+                "data": {"from_parameter": "data"},
+                "model": {"from_parameter": "context"},
+            },
+            "result": True,
+        }
+    }
+    comp = compile_process_graph(graph, "float64")
+    # band-stack shape (features, pixels): each column is one vector
+    out = comp.fn({"data": X.T, "context": parsed})
+    got = np.asarray(out)
+    assert got.shape == (X.shape[0],)
+    np.testing.assert_array_equal(got, [want[r.vec_id] for r in rows])
+
+    probs_graph = {
+        "p": {
+            "process_id": "predict_probabilities",
+            "arguments": {
+                "data": {"from_parameter": "data"},
+                "model": {"from_parameter": "context"},
+            },
+            "result": True,
+        }
+    }
+    probs = np.asarray(compile_process_graph(probs_graph, "float64").fn(
+        {"data": X.T, "context": parsed}
+    ))
+    assert probs.shape == (3, X.shape[0])
+    np.testing.assert_allclose(probs.sum(axis=0), 1.0, atol=1e-12)
+    _, want_probs = eval_random_forest(parsed, X)
+    np.testing.assert_allclose(probs.T, want_probs)
+
+    cb_graph = {
+        "p": {
+            "process_id": "predict_catboost",
+            "arguments": {
+                "data": {"from_parameter": "data"},
+                "model": {"from_parameter": "context"},
+            },
+            "result": True,
+        }
+    }
+    cb_model = {
+        "oblivious_trees": [
+            {"splits": [{"float_feature_index": 0, "border": 0.0}],
+             "leaf_values": [-1.0, 2.0]},
+        ],
+        "scale_and_bias": [1.0, [0.5]],
+    }
+    cb = np.asarray(compile_process_graph(cb_graph, "float64").fn(
+        {"data": X.T, "context": cb_model}
+    ))
+    want_cb = np.where(X[:, 0] > 0.0, 2.0, -1.0) + 0.5
+    np.testing.assert_allclose(cb, want_cb)
