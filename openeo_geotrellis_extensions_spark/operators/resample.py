@@ -148,3 +148,40 @@ def resample_cube_spatial(cube: DataCube, target: DataCube) -> DataCube:
     OpenEOProcesses.scala:832-880): regrid ``cube`` onto ``target``'s layout
     (CRS warp included when their CRSs differ)."""
     return resample_spatial(cube, target.meta.layout)
+
+
+def resample_spatial_resolution(
+    cube: DataCube,
+    resolution: float,
+    projection: str | None = None,
+) -> DataCube:
+    """openEO resample_spatial's (resolution, projection) signature: derive
+    the target layout from the requested cell size over the (reprojected)
+    cube extent, keeping the tile pixel size; then regrid/warp through
+    resample_spatial. ``resolution`` is in target-CRS units per pixel."""
+    from ..core.proj import transform_extent
+
+    src = cube.meta.layout
+    crs = projection or src.crs
+    ext = transform_extent(src.extent, src.crs, crs)
+    tile_px = src.tile_cols
+    import math as _math
+
+    layout_cols = max(1, _math.ceil(ext.width / (resolution * tile_px)))
+    layout_rows = max(1, _math.ceil(ext.height / (resolution * tile_px)))
+    # grow the extent to a whole number of tiles so cell size is EXACTLY
+    # ``resolution`` (grid-alignment invariant: keys stay in [0, layout))
+    target = LayoutDefinition(
+        type(ext)(
+            ext.xmin,
+            ext.ymax - layout_rows * resolution * src.tile_rows,
+            ext.xmin + layout_cols * resolution * tile_px,
+            ext.ymax,
+        ),
+        layout_cols,
+        layout_rows,
+        tile_px,
+        src.tile_rows,
+        crs,
+    )
+    return resample_spatial(cube, target)

@@ -208,3 +208,43 @@ def test_resample_cube_spatial_matches_target_layout(spark):
         _world_pixels(out), _world_pixels(a).repeat(2, 0).repeat(2, 1),
         equal_nan=True,
     )
+
+
+def test_resample_spatial_resolution_signature(spark):
+    """openEO (resolution, projection) signature: exact cell size, in-grid
+    keys, same-CRS downsample == zoom-style block pick."""
+    from openeo_geotrellis_extensions_spark.operators.resample import (
+        resample_spatial_resolution,
+    )
+
+    cube = arithmetic_cube(spark, LAYOUT, n_bands=1, cell_type="float64")
+    out = resample_spatial_resolution(cube, 0.25)  # 2x coarser than 0.125
+    ld = out.meta.layout
+    assert abs(ld.cell_width - 0.25) < 1e-12
+    keys = [(r.col, r.row) for r in out.df.select("col", "row").distinct().collect()]
+    assert min(keys) >= (0, 0)
+
+    warped = resample_spatial_resolution(cube, 30000.0, projection="EPSG:3857")
+    assert warped.meta.layout.crs == "EPSG:3857"
+    assert warped.df.count() > 0
+
+
+def test_reproject_polar_clamp():
+    """Mercator y clamps at +-MAX_MERCATOR_LAT: world extents stay finite
+    and monotone."""
+    import numpy as np
+
+    from openeo_geotrellis_extensions_spark.core.proj import (
+        MAX_MERCATOR_LAT,
+        transform_extent,
+        transform_fns,
+    )
+    from openeo_geotrellis_extensions_spark.core.grid import Extent
+
+    world = Extent(-180.0, -90.0, 180.0, 90.0)
+    merc = transform_extent(world, "EPSG:4326", "EPSG:3857")
+    assert np.isfinite([merc.xmin, merc.ymin, merc.xmax, merc.ymax]).all()
+    fx, fy = transform_fns("EPSG:4326", "EPSG:3857")
+    ys = fy(np.array([-90.0, -MAX_MERCATOR_LAT, 0.0, MAX_MERCATOR_LAT, 90.0]))
+    assert ys[0] == ys[1] and ys[3] == ys[4]  # clamped at the poles
+    assert (np.diff(ys) >= 0).all()
