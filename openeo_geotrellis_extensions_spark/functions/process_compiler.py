@@ -429,15 +429,17 @@ _PROCESSES: dict[str, Callable] = {
 _PROCESSES["absolute"] = _PROCESSES["abs"]
 
 
-def _log_process(level: str):
+def _log_process(default_level: str):
     """inspect/debug/warning/error (:1214-1220 region): log the message and
-    pass ``data`` through unchanged — side-effect-only processes."""
+    pass ``data`` through unchanged — side-effect-only processes. inspect's
+    own ``level`` argument overrides the process default."""
 
-    def impl(data=None, message=None, code=None, level_arg=None, **_kw):
+    def impl(data=None, message=None, code=None, level=None, **_kw):
         import logging
 
+        lvl = (level or default_level).upper()
         logging.getLogger("openeo.processes").log(
-            getattr(logging, level.upper(), logging.INFO),
+            getattr(logging, lvl, logging.INFO),
             "%s %s", code or "", message if message is not None else "",
         )
         return data
@@ -475,28 +477,38 @@ def _p_predict_catboost(data, model):
     dump dict (or pre-parsed via pipeline.ml.parse_catboost_json)."""
     from ..pipeline.ml import eval_catboost, parse_catboost_json
 
-    parsed = model if "scale" in model else parse_catboost_json(model)
+    parsed = (
+        model
+        if isinstance(model, dict) and "scale" in model
+        else parse_catboost_json(model)
+    )
     X, shape = _pixels_features(data)
     raw = eval_catboost(parsed, X)
     return raw.reshape(shape) if shape else float(raw[0])
 
 
 def _p_predict_probabilities(data, model):
-    """Per-pixel class probabilities (:1213): RF numpy dumps yield the
-    (classes, y, x) probability stack; CatBoost dumps yield the sigmoid of
-    the raw score."""
+    """Per-pixel class probabilities (:1213), ALWAYS a (classes, ...) stack
+    regardless of model kind: RF numpy dumps yield (n_classes, y, x);
+    binary CatBoost dumps yield (2, y, x) as [1 - sigmoid, sigmoid] so
+    downstream array_element over the class axis works uniformly."""
     X, shape = _pixels_features(data)
-    if "n_classes" in model:
+    if isinstance(model, dict) and "n_classes" in model:
         from ..pipeline.ml import eval_random_forest
 
         _, probs = eval_random_forest(model, X)
         return probs.T.reshape((probs.shape[1],) + shape) if shape else probs[0]
     from ..pipeline.ml import eval_catboost, parse_catboost_json
 
-    parsed = model if "scale" in model else parse_catboost_json(model)
+    parsed = (
+        model
+        if isinstance(model, dict) and "scale" in model
+        else parse_catboost_json(model)
+    )
     raw = eval_catboost(parsed, X)
     p = 1.0 / (1.0 + np.exp(-raw))
-    return p.reshape(shape) if shape else float(p[0])
+    stacked = np.stack([1.0 - p, p])
+    return stacked.reshape((2,) + shape) if shape else stacked[:, 0]
 
 
 _PROCESSES["predict_random_forest"] = _p_predict_random_forest

@@ -164,23 +164,20 @@ def resample_spatial_resolution(
     src = cube.meta.layout
     crs = projection or src.crs
     ext = transform_extent(src.extent, src.crs, crs)
-    tile_px = src.tile_cols
-    import math as _math
-
-    layout_cols = max(1, _math.ceil(ext.width / (resolution * tile_px)))
-    layout_rows = max(1, _math.ceil(ext.height / (resolution * tile_px)))
+    layout_cols = max(1, math.ceil(ext.width / (resolution * src.tile_cols)))
+    layout_rows = max(1, math.ceil(ext.height / (resolution * src.tile_rows)))
     # grow the extent to a whole number of tiles so cell size is EXACTLY
     # ``resolution`` (grid-alignment invariant: keys stay in [0, layout))
     target = LayoutDefinition(
         type(ext)(
             ext.xmin,
             ext.ymax - layout_rows * resolution * src.tile_rows,
-            ext.xmin + layout_cols * resolution * tile_px,
+            ext.xmin + layout_cols * resolution * src.tile_cols,
             ext.ymax,
         ),
         layout_cols,
         layout_rows,
-        tile_px,
+        src.tile_cols,
         src.tile_rows,
         crs,
     )

@@ -248,3 +248,20 @@ def test_reproject_polar_clamp():
     ys = fy(np.array([-90.0, -MAX_MERCATOR_LAT, 0.0, MAX_MERCATOR_LAT, 90.0]))
     assert ys[0] == ys[1] and ys[3] == ys[4]  # clamped at the poles
     assert (np.diff(ys) >= 0).all()
+
+
+def test_resample_resolution_non_square_tiles(spark):
+    """Non-square tiles: vertical grid sized by tile_rows (review finding —
+    tile_cols in the row denominator silently dropped the cube's bottom)."""
+    from openeo_geotrellis_extensions_spark.operators.resample import (
+        resample_spatial_resolution,
+    )
+
+    tall = LayoutDefinition(Extent(0.0, 0.0, 2.0, 2.0), 1, 2, 16, 8)
+    cube = arithmetic_cube(spark, tall, n_bands=1, cell_type="float64")
+    out = resample_spatial_resolution(cube, 0.125)  # same cell size
+    ld = out.meta.layout
+    assert ld.layout_rows * ld.tile_rows * 0.125 >= 2.0  # full height covered
+    before = _world_pixels(cube)
+    after = _world_pixels(out)
+    np.testing.assert_allclose(after[:16, :16], before, equal_nan=True)
