@@ -434,6 +434,92 @@ def _oracle_merge_sum() -> str:
     return f"WITH {_digest_base_cte()} {_digest_tail(src)}"
 
 
+def _q_merge_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """merge_cubes WITHOUT a resolver: band concatenation with dtype union
+    and empty padding (OpenEOProcesses.scala:936-977) — the other half of
+    the merge contract next to merge_cubes_sum."""
+    a = arithmetic_cube(spark, DIGEST_LAYOUT, n_bands=1, cell_type="float64")
+    b = arithmetic_cube(
+        spark, DIGEST_LAYOUT, n_bands=1, cell_type="float64", value_fn=_fn_b
+    )
+    return cube_digest(merge_cubes(a, b))
+
+
+def _oracle_merge_concat() -> str:
+    src = f"""
+        SELECT d.date, t.c, t.r, 0 AS band,
+               CASE WHEN {_NA.format(b=0)} THEN NULL
+                    ELSE CAST({_VA.format(b=0)} AS DOUBLE) END AS v
+        FROM dates d, tiles t, px, py
+        UNION ALL
+        SELECT d.date, t.c, t.r, 1 AS band,
+               CASE WHEN {_NB} THEN NULL ELSE CAST({_VB} AS DOUBLE) END AS v
+        FROM dates d, tiles t, px, py
+    """
+    return f"WITH {_digest_base_cte()} {_digest_tail(src)}"
+
+
+def _q_run_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """run_udf per spatial chunk (Udf.scala dims contract): user code sees
+    the (t, bands, y, x) stack for one key and reduces time by nanmax,
+    scaled by the context — value-checked against SQL regenerating the same
+    reduction."""
+    from openeo_geotrellis_extensions_spark.functions.udf import run_udf
+
+    cube = arithmetic_cube(spark, DIGEST_LAYOUT, n_bands=1, cell_type="float64")
+    code = (
+        "def apply_datacube(cube, context):\n"
+        "    import numpy as np\n"
+        "    return np.nanmax(cube.values, axis=0) * context['factor']\n"
+    )
+    return cube_digest(run_udf(cube, code, context={"factor": 2}))
+
+
+def _oracle_run_udf() -> str:
+    # a time-reduced UDF result stays a spacetime cube labeled with the
+    # chunk's FIRST timestamp (functions/udf.py apply_chunk)
+    src = f"""
+        SELECT '{DATES[0]}' AS date, t.c, t.r, 0 AS band,
+               MAX(CASE WHEN {_NA.format(b=0)} THEN NULL
+                        ELSE CAST({_VA.format(b=0)} AS DOUBLE) END) * 2 AS v
+        FROM dates d, tiles t, px, py
+        GROUP BY t.c, t.r, px.px, py.py
+    """
+    return f"WITH {_digest_base_cte()} {_digest_tail(src)}"
+
+
+#: mask_polygon fixture rect (off pixel centers) in DIGEST_LAYOUT coords
+_MASK_RECT = (0.30005, 0.30005, 1.20005, 1.20005)
+
+
+def _q_mask_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mask_polygon: pixels outside the polygon -> nodata, keys fully
+    outside dropped (groupAndMaskByGeometry clip semantics)."""
+    from openeo_geotrellis_extensions_spark.operators.mask import mask_polygon
+
+    cube = arithmetic_cube(spark, DIGEST_LAYOUT, n_bands=1, cell_type="float64")
+    feats = spark.createDataFrame(
+        [(0, _rect_geojson(*_MASK_RECT))], ["feature_index", "geojson"]
+    )
+    return cube_digest(mask_polygon(cube, feats))
+
+
+def _oracle_mask_polygon() -> str:
+    x0, y0, x1, y1 = _MASK_RECT
+    src = f"""
+        SELECT d.date, t.c, t.r, 0 AS band,
+               CASE WHEN ({_NA.format(b=0)})
+                      OR NOT (t.c * 1.0 + (px.px + 0.5) * 0.125 > {x0}
+                              AND t.c * 1.0 + (px.px + 0.5) * 0.125 < {x1}
+                              AND 2.0 - t.r * 1.0 - (py.py + 0.5) * 0.125 > {y0}
+                              AND 2.0 - t.r * 1.0 - (py.py + 0.5) * 0.125 < {y1})
+                    THEN NULL
+                    ELSE CAST({_VA.format(b=0)} AS DOUBLE) END AS v
+        FROM dates d, tiles t, px, py
+    """
+    return f"WITH {_digest_base_cte()} {_digest_tail(src)}"
+
+
 def _q_mask_raster(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raster mask: hide pixels where mask != 0 (rasterMaskGeneric,
     DatacubeSupport.scala:191-243)."""
@@ -1607,6 +1693,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_reducers": _q_agg_reducers,
         "aggregate_temporal_period": _q_temporal_period,
         "merge_cubes_sum": _q_merge_sum,
+        "merge_cubes_concat": _q_merge_concat,
+        "mask_polygon": _q_mask_polygon,
+        "run_udf_reduce": _q_run_udf,
         "mask_raster": _q_mask_raster,
         "reduce_time_mean": _q_reduce_time_mean,
         "aggregate_temporal": _q_aggregate_temporal,
@@ -1649,6 +1738,9 @@ def oracle_sql() -> dict[str, str]:
         "agg_reducers": _ORACLE_AGG_REDUCERS,
         "aggregate_temporal_period": _ORACLE_TEMPORAL_PERIOD,
         "merge_cubes_sum": _oracle_merge_sum(),
+        "merge_cubes_concat": _oracle_merge_concat(),
+        "mask_polygon": _oracle_mask_polygon(),
+        "run_udf_reduce": _oracle_run_udf(),
         "mask_raster": _oracle_mask_raster(),
         "reduce_time_mean": _oracle_reduce_time_mean(),
         "aggregate_temporal": _oracle_aggregate_temporal(),
