@@ -1500,6 +1500,147 @@ def _q_load_collection_per_product(spark: SparkSession, sf_dir: str) -> DataFram
     return cube_digest(cube)
 
 
+#: fixed-feature (load_stac) fixture: two products, literal bboxes/dates
+_STAC_FEATURES = [
+    {"product_id": "S2_A", "date": "2017-01-01", "bbox": (-20.0, -10.0, 10.0, 10.0)},
+    {"product_id": "S2_B", "date": "2017-01-15", "bbox": (0.0, -15.0, 25.0, 15.0)},
+]
+
+
+def _q_load_stac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """load_stac / fixed-feature catalog (FixedFeaturesOpenSearchClient path):
+    the same load_collection pipeline fed by a literal feature list."""
+    from openeo_geotrellis_extensions_spark.sources.catalog import (
+        fixed_features_catalog,
+        load_collection,
+    )
+
+    cat = fixed_features_catalog(spark, _STAC_FEATURES)
+    cube = load_collection(cat, CATALOG_LAYOUT, CATALOG_BBOX, n_bands=1)
+    return cube_digest(cube)
+
+
+def _oracle_load_stac() -> str:
+    prods = " UNION ALL ".join(
+        f"SELECT {i} AS p, '{f['date']}' AS date, "
+        f"{f['bbox'][0]} AS fx0, {f['bbox'][1]} AS fy0, "
+        f"{f['bbox'][2]} AS fx1, {f['bbox'][3]} AS fy1"
+        for i, f in enumerate(_STAC_FEATURES)
+    )
+    return f"""
+        WITH prods AS ({prods}),
+        keys AS (
+            SELECT CAST(c AS INT) AS c, CAST(r AS INT) AS r,
+                   -180 + c * 10.0 AS kx0, 90 - (r + 1) * 10.0 AS ky0,
+                   -180 + (c + 1) * 10.0 AS kx1, 90 - r * 10.0 AS ky1
+            FROM generate_series(0, 35) tc(c), generate_series(0, 17) tr(r)
+        ),
+        req_keys AS (
+            SELECT * FROM keys
+            WHERE kx0 < 30.0 AND kx1 > -30.0 AND ky0 < 20.0 AND ky1 > -20.0
+        ),
+        cover AS (
+            SELECT pr.date, pr.p, k.c, k.r
+            FROM prods pr JOIN req_keys k
+              ON pr.fx0 < k.kx1 AND pr.fx1 > k.kx0
+                 AND pr.fy0 < k.ky1 AND pr.fy1 > k.ky0
+        ),
+        px AS (SELECT CAST(px AS INT) AS px FROM generate_series(0, 7) t(px)),
+        py AS (SELECT CAST(py AS INT) AS py FROM generate_series(0, 7) t(py)),
+        winner AS (
+            SELECT cv.date, cv.c, cv.r, px.px, py.py, MIN(cv.p) AS p
+            FROM cover cv, px, py
+            WHERE (cv.p + px.px + py.py) % 19 != 0
+            GROUP BY cv.date, cv.c, cv.r, px.px, py.py
+        ),
+        pixels AS (
+            SELECT date, c, r, 0 AS band, px, py,
+                   CAST((p * 7 + c * 13 + r * 17 + py * 3 + px) % 83 AS DOUBLE) AS v
+            FROM winner
+        )
+        SELECT date, c AS col, r AS row, band,
+               CAST(COUNT(v) AS BIGINT) AS cnt,
+               ROUND(SUM(v), 4) AS sm, ROUND(MIN(v), 4) AS mn, ROUND(MAX(v), 4) AS mx
+        FROM pixels
+        GROUP BY date, c, r, band
+    """
+
+
+def _q_sampled_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pixel-free sampled feature scan (FileRDDFactory.loadSpatialFeatureJsonRDD
+    analog): product metadata keyed by (date, col, row) without reading any
+    raster — the sampling-job fast path."""
+    from openeo_geotrellis_extensions_spark.sources.catalog import (
+        sampled_features,
+        synth_catalog,
+    )
+
+    cat = synth_catalog(spark, 64)
+    out = sampled_features(cat, CATALOG_LAYOUT, CATALOG_BBOX)
+    return out.select(
+        "date",
+        F.col("col").cast("int").alias("col"),
+        F.col("row").cast("int").alias("row"),
+        "product_id",
+        F.col("product_index").cast("int").alias("product_index"),
+    )
+
+
+def _oracle_sampled_features() -> str:
+    return """
+        WITH prods AS (
+            SELECT CAST(id AS INT) AS p, printf('prod_%04d', id) AS product_id,
+                   list_extract(['2017-01-01', '2017-01-15', '2017-02-01', '2018-01-15'],
+                                CAST(id % 4 AS INT) + 1) AS date,
+                   -180 + (id * 53) % 330 AS fx0, -85 + (id * 29) % 150 AS fy0,
+                   -180 + (id * 53) % 330 + 30 AS fx1, -85 + (id * 29) % 150 + 20 AS fy1
+            FROM generate_series(0, 63) t(id)
+        ),
+        keys AS (
+            SELECT CAST(c AS INT) AS c, CAST(r AS INT) AS r,
+                   -180 + c * 10.0 AS kx0, 90 - (r + 1) * 10.0 AS ky0,
+                   -180 + (c + 1) * 10.0 AS kx1, 90 - r * 10.0 AS ky1
+            FROM generate_series(0, 35) tc(c), generate_series(0, 17) tr(r)
+        )
+        SELECT pr.date, k.c AS col, k.r AS row, pr.product_id,
+               pr.p AS product_index
+        FROM prods pr
+        JOIN keys k ON pr.fx0 < k.kx1 AND pr.fx1 > k.kx0
+                   AND pr.fy0 < k.ky1 AND pr.fy1 > k.ky0
+        WHERE pr.fx0 < 30.0 AND pr.fx1 > -30.0
+          AND pr.fy0 < 20.0 AND pr.fy1 > -20.0
+    """
+
+
+#: crop bbox (off pixel centers and tile edges) in DIGEST_LAYOUT coords
+_CROP_BBOX = (0.40005, 0.40005, 1.60005, 1.60005)
+
+
+def _q_crop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """crop_spatial (OpenEOProcesses.scala:1142-1159): key filter + per-tile
+    masking of pixels outside the bbox; tile geometry unchanged."""
+    from openeo_geotrellis_extensions_spark.operators.filters import crop
+
+    cube = arithmetic_cube(spark, DIGEST_LAYOUT, n_bands=1, cell_type="float64")
+    return cube_digest(crop(cube, Extent(*_CROP_BBOX)))
+
+
+def _oracle_crop() -> str:
+    x0, y0, x1, y1 = _CROP_BBOX
+    src = f"""
+        SELECT d.date, t.c, t.r, 0 AS band,
+               CASE WHEN ({_NA.format(b=0)})
+                      OR NOT (t.c * 1.0 + (px.px + 0.5) * 0.125 > {x0}
+                              AND t.c * 1.0 + (px.px + 0.5) * 0.125 < {x1}
+                              AND 2.0 - t.r * 1.0 - (py.py + 0.5) * 0.125 > {y0}
+                              AND 2.0 - t.r * 1.0 - (py.py + 0.5) * 0.125 < {y1})
+                    THEN NULL
+                    ELSE CAST({_VA.format(b=0)} AS DOUBLE) END AS v
+        FROM dates d, tiles t, px, py
+    """
+    return f"WITH {_digest_base_cte()} {_digest_tail(src)}"
+
+
 def _q_rasterize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vector -> raster burn (VectorCubeMethods analog): rect features with
     values, paint-order overlap, sparse keys -> digests."""
@@ -1720,6 +1861,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_ann": _q_ivf_ann,
         "catboost_predict": _q_catboost_predict,
         "load_collection": _q_load_collection,
+        "load_stac": _q_load_stac,
+        "sampled_features": _q_sampled_features,
+        "filter_crop": _q_crop,
         "load_collection_per_product": _q_load_collection_per_product,
         "rasterize": _q_rasterize,
         "pyramid_zoom_out": _q_pyramid,
@@ -1766,6 +1910,9 @@ def oracle_sql() -> dict[str, str]:
         # ivf_ann: intentionally no oracle (KMeans training is not
         # SQL-expressible; rows-only check + recall floor in pytest)
         "load_collection": _oracle_load_collection(),
+        "load_stac": _oracle_load_stac(),
+        "sampled_features": _oracle_sampled_features(),
+        "filter_crop": _oracle_crop(),
         "load_collection_per_product": _oracle_load_collection(),
         "rasterize": _oracle_rasterize(),
         "pyramid_zoom_out": _oracle_pyramid(),
