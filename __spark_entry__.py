@@ -1641,6 +1641,101 @@ def _oracle_crop() -> str:
     return f"WITH {_digest_base_cte()} {_digest_tail(src)}"
 
 
+def _fn_scl(d, b, c, r, py, px):
+    """SCL-class fixture: classes 0..11, no nodata."""
+    return ((px + py * 2 + c * 3 + r * 5 + d * 7) % 12).astype(np.float64)
+
+
+def _q_scl_dilation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """toSclDilationMask (CloudFilterStrategy morphology): SCL classes ->
+    binary mask dilated by a box kernel across tile borders; the oracle
+    recomputes dilation as MAX over the Chebyshev-2 neighborhood in global
+    pixel space."""
+    from openeo_geotrellis_extensions_spark.operators.cloud import (
+        to_scl_dilation_mask,
+    )
+
+    scl = arithmetic_cube(
+        spark, DIGEST_LAYOUT, n_bands=1, cell_type="float64", value_fn=_fn_scl
+    )
+    return cube_digest(to_scl_dilation_mask(scl, dilation_px=2))
+
+
+def _oracle_scl_dilation() -> str:
+    return f"""
+        WITH {_digest_base_cte()},
+        pixels AS (
+            SELECT d.date, t.c * 8 + px.px AS gx, t.r * 8 + py.py AS gy,
+                   CASE WHEN ((px.px + py.py * 2 + t.c * 3 + t.r * 5 + d.di * 7) % 12)
+                             IN (3, 8, 9, 10, 11) THEN 1 ELSE 0 END AS m
+            FROM dates d, tiles t, px, py
+        ),
+        dil AS (
+            SELECT a.date, a.gx, a.gy, MAX(b.m) AS v
+            FROM pixels a JOIN pixels b
+              ON b.date = a.date
+                 AND abs(b.gx - a.gx) <= 2 AND abs(b.gy - a.gy) <= 2
+            GROUP BY 1, 2, 3
+        )
+        SELECT date, CAST(gx // 8 AS INT) AS col, CAST(gy // 8 AS INT) AS row,
+               0 AS band,
+               CAST(COUNT(v) AS BIGINT) AS cnt,
+               ROUND(SUM(CAST(v AS DOUBLE)), 4) AS sm,
+               ROUND(MIN(CAST(v AS DOUBLE)), 4) AS mn,
+               ROUND(MAX(CAST(v AS DOUBLE)), 4) AS mx
+        FROM dil
+        GROUP BY date, gx // 8, gy // 8
+    """
+
+
+#: chunk_polygon fixture rects — DISJOINT (merge order immaterial), each
+#: inside a single DIGEST_LAYOUT tile, off pixel centers
+_CHUNK_RECTS = [
+    (0, 0.30005, 0.30005, 0.90005, 0.90005),   # tile (0, 1)
+    (1, 1.10005, 1.10005, 1.80005, 1.80005),   # tile (1, 0)
+]
+
+
+def _chunk_add_fn(stack, fi):
+    """chunk UDF: add (feature_index + 1) to every pixel."""
+    return stack + (fi + 1)
+
+
+def _q_chunk_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """chunk_polygon + merge (runChunkPolygonUserCode + mergeTiles,
+    OpenEOProcesses.scala:1214-1216): per-polygon chunks masked to the
+    geometry, transformed by a user fn, re-emitted as cube rows."""
+    from openeo_geotrellis_extensions_spark.operators.cloud import chunk_polygon
+
+    cube = arithmetic_cube(spark, DIGEST_LAYOUT, n_bands=1, cell_type="float64")
+    feats = spark.createDataFrame(
+        [(fi, _rect_geojson(x0, y0, x1, y1)) for fi, x0, y0, x1, y1 in _CHUNK_RECTS],
+        ["feature_index", "geojson"],
+    )
+    return cube_digest(chunk_polygon(cube, feats, _chunk_add_fn))
+
+
+def _oracle_chunk_polygon() -> str:
+    branches = " ".join(
+        f"WHEN (t.c * 1.0 + (px.px + 0.5) * 0.125 > {x0}"
+        f" AND t.c * 1.0 + (px.px + 0.5) * 0.125 < {x1}"
+        f" AND 2.0 - t.r * 1.0 - (py.py + 0.5) * 0.125 > {y0}"
+        f" AND 2.0 - t.r * 1.0 - (py.py + 0.5) * 0.125 < {y1}) THEN {fi + 1}"
+        for fi, x0, y0, x1, y1 in _CHUNK_RECTS
+    )
+    # keys covered by the rects: (0,1) and (1,0) only
+    src = f"""
+        SELECT d.date, t.c, t.r, 0 AS band,
+               CASE WHEN ({_NA.format(b=0)}) THEN NULL
+                    ELSE CAST({_VA.format(b=0)} AS DOUBLE)
+                         + (CASE {branches} ELSE NULL END)
+               END AS v
+        FROM dates d, tiles t, px, py
+        WHERE (t.c, t.r) IN ((0, 1), (1, 0))
+    """
+    return f"WITH {_digest_base_cte()} {_digest_tail(src)}"
+
+
 def _q_rasterize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vector -> raster burn (VectorCubeMethods analog): rect features with
     values, paint-order overlap, sparse keys -> digests."""
@@ -1866,6 +1961,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_crop": _q_crop,
         "load_collection_per_product": _q_load_collection_per_product,
         "rasterize": _q_rasterize,
+        "scl_dilation_mask": _q_scl_dilation,
+        "chunk_polygon_udf": _q_chunk_polygon,
         "pyramid_zoom_out": _q_pyramid,
         "dedup_groups": _q_dedup_groups,
         "stream_windowed": _q_stream_windowed,
@@ -1915,6 +2012,8 @@ def oracle_sql() -> dict[str, str]:
         "filter_crop": _oracle_crop(),
         "load_collection_per_product": _oracle_load_collection(),
         "rasterize": _oracle_rasterize(),
+        "scl_dilation_mask": _oracle_scl_dilation(),
+        "chunk_polygon_udf": _oracle_chunk_polygon(),
         "pyramid_zoom_out": _oracle_pyramid(),
         "dedup_groups": _oracle_dedup_groups(),
         "stream_windowed": _ORACLE_STREAM_WINDOWED,
