@@ -125,6 +125,7 @@ def test_no_unjustified_cartesian_in_any_registered_query(spark):
         "zonal_stats_const",   # dense restore: crossJoin of tiny date/band dims
         "zonal_stats_arith",   # dense restore: crossJoin of tiny date/band dims
         "aggregate_temporal",  # dense interval fill: tiny interval dim
+        "mask_polygon",        # crossJoin(broadcast(ONE row of collected feats))
     }
     streaming = {"stream_windowed", "stream_dedup_stateful"}  # plans materialize in sinks
     for name, fn in m.queries().items():
