@@ -1781,6 +1781,45 @@ def _oracle_rasterize() -> str:
     """
 
 
+def _q_vectorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rasterize -> vectorize round trip: a burned rect decomposes, per
+    covered tile, into exactly the tile∩rect rectangle (pixel-snapped) —
+    closed-form literal bounds in the oracle."""
+    from openeo_geotrellis_extensions_spark.operators.rasterize import vectorize
+
+    feats = spark.createDataFrame(
+        [(1, _rect_geojson(0.49995, 0.49995, 2.50005, 1.50005), 10.0)],
+        ["feature_index", "geojson", "value"],
+    )
+    cube = rasterize_features(feats, ZONAL_LAYOUT, value_col="value", cell_type="float64")
+    out = vectorize(cube)
+    ring = F.from_json(
+        "geojson", "type string, coordinates array<array<array<double>>>"
+    )["coordinates"][0]
+    return out.select(
+        F.col("value").alias("value"),
+        ring.alias("_ring"),
+    ).select(
+        "value",
+        F.round(F.expr("aggregate(_ring, CAST('Infinity' AS DOUBLE), (a, p) -> least(a, p[0]))"), 6).alias("xmin"),
+        F.round(F.expr("aggregate(_ring, CAST('Infinity' AS DOUBLE), (a, p) -> least(a, p[1]))"), 6).alias("ymin"),
+        F.round(F.expr("aggregate(_ring, CAST('-Infinity' AS DOUBLE), (a, p) -> greatest(a, p[0]))"), 6).alias("xmax"),
+        F.round(F.expr("aggregate(_ring, CAST('-Infinity' AS DOUBLE), (a, p) -> greatest(a, p[1]))"), 6).alias("ymax"),
+    )
+
+
+_ORACLE_VECTORIZE = """
+    SELECT * FROM (VALUES
+        (10.0, 0.5, 1.0, 1.0, 1.5),
+        (10.0, 1.0, 1.0, 2.0, 1.5),
+        (10.0, 2.0, 1.0, 2.5, 1.5),
+        (10.0, 0.5, 0.5, 1.0, 1.0),
+        (10.0, 1.0, 0.5, 2.0, 1.0),
+        (10.0, 2.0, 0.5, 2.5, 1.0)
+    ) t(value, xmin, ymin, xmax, ymax)
+"""
+
+
 def _q_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """zoom_out: 2x2 block-mean pyramid level (TiledRasterLayer.scala:173)."""
     cube = arithmetic_cube(spark, DIGEST_LAYOUT, n_bands=1, cell_type="float64")
@@ -1963,6 +2002,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rasterize": _q_rasterize,
         "scl_dilation_mask": _q_scl_dilation,
         "chunk_polygon_udf": _q_chunk_polygon,
+        "vectorize": _q_vectorize,
         "pyramid_zoom_out": _q_pyramid,
         "dedup_groups": _q_dedup_groups,
         "stream_windowed": _q_stream_windowed,
@@ -2014,6 +2054,7 @@ def oracle_sql() -> dict[str, str]:
         "rasterize": _oracle_rasterize(),
         "scl_dilation_mask": _oracle_scl_dilation(),
         "chunk_polygon_udf": _oracle_chunk_polygon(),
+        "vectorize": _ORACLE_VECTORIZE,
         "pyramid_zoom_out": _oracle_pyramid(),
         "dedup_groups": _oracle_dedup_groups(),
         "stream_windowed": _ORACLE_STREAM_WINDOWED,
