@@ -212,3 +212,19 @@ def lsh_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def lsh_params_for(
+    n_rows: int, target_bucket_rows: int = 1000, recall_tables: int = 8
+) -> dict:
+    """Size hyperplane-LSH parameters to the corpus: candidate work per
+    bucket is O(bucket^2), so ``bits`` grows with log2(n / target_bucket) —
+    at 10^12 rows and the default 1k-row target that is ~30 bits, keeping
+    every bucket join bounded; recall is then bought back with ``tables``
+    (each table is an independent chance to collide). The driver queries use
+    small fixture-sized params; THIS is the knob a production pipeline
+    derives from its row count."""
+    import math
+
+    bits = max(1, math.ceil(math.log2(max(2, n_rows / target_bucket_rows))))
+    return {"bits": bits, "tables": recall_tables}

@@ -285,3 +285,18 @@ def test_repetition_scores_hand_checked(spark):
     assert out[2].top_ngram_frac == 0.0
     # doc0 normalized words: 'a b a b c d' -> bigrams a b, b a, a b, b c, c d -> top 2/5
     assert abs(out[0].top_ngram_frac - 0.4) < 1e-9
+
+
+def test_lsh_params_scale_with_corpus():
+    from openeo_geotrellis_extensions_spark.pipeline.similarity import (
+        lsh_params_for,
+    )
+
+    small = lsh_params_for(5_000)
+    big = lsh_params_for(10**12)
+    assert small["bits"] < big["bits"]
+    assert big["bits"] >= 30  # 10^12 / 1k target -> bounded buckets
+    # expected bucket size stays near target at any scale
+    for n in (10**4, 10**8, 10**12):
+        p = lsh_params_for(n)
+        assert n / (2 ** p["bits"]) <= 2 * 1000
