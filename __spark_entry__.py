@@ -1384,18 +1384,106 @@ def _oracle_catboost_predict() -> str:
     """
 
 
+#: IVF params shared by the registered query and its oracle (fixture-sized;
+#: ivf_params_for is the production sizing knob)
+_IVF_LISTS, _IVF_PROBE, _IVF_ITERS, _IVF_K, _IVF_DIM = 8, 2, 2, 3, 64
+
+
 def _q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN (KMeans coarse lists + probe + exact rerank; rows-only driver
-    check — recall floor vs brute force asserted in pytest)."""
-    from openeo_geotrellis_extensions_spark.pipeline.similarity import ivf_topk
+    """IVF ANN, FULLY oracle-checked: the coarse quantizer is deterministic
+    and SQL-mirrorable (md5-ordered seeds + a fixed number of Lloyd
+    iterations over floor(x*1e6) exact-integer quantized vectors), so DuckDB
+    recomputes centroids, list assignments, probes, and the reranked top-k
+    stage for stage. Recall floor vs brute force asserted in pytest."""
+    from openeo_geotrellis_extensions_spark.pipeline.similarity import ivf_topk_det
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return ivf_topk(emb, k=3, n_lists=16, n_probe=6).select(
+    return ivf_topk_det(
+        emb, k=_IVF_K, n_lists=_IVF_LISTS, n_probe=_IVF_PROBE, iters=_IVF_ITERS
+    ).select(
         F.col("query_id").cast("long").alias("query_id"),
         F.col("neighbor_id").cast("long").alias("neighbor_id"),
         "cosine",
         F.col("rank").cast("int").alias("rank"),
     )
+
+
+def _oracle_ivf_ann() -> str:
+    """DuckDB mirror of ivf_topk_det: quantize -> md5-ordered seeds -> two
+    unrolled Lloyd iterations (assign CTE = argmax of the exact-integer
+    score 2*q.c - |c|^2; update CTE = per-dim floor(double(sum)/count),
+    empty lists COALESCE to the previous centroid) -> final assign ->
+    n_probe probes per query -> candidate equi-join on list_id -> exact
+    cosine rerank. Every intermediate is an integer-valued double < 2^53,
+    so both engines agree bit for bit."""
+    score = (
+        "2*list_dot_product(CAST(v.q AS DOUBLE[]), CAST(c.c AS DOUBLE[]))"
+        " - list_dot_product(CAST(c.c AS DOUBLE[]), CAST(c.c AS DOUBLE[]))"
+    )
+    cent = "[" + ", ".join(
+        f"CAST(floor(CAST(sum(list_extract(q,{d+1})) AS DOUBLE)/count(*)) AS BIGINT)"
+        for d in range(_IVF_DIM)
+    ) + "]"
+    iter_ctes = []
+    for i in range(1, _IVF_ITERS + 1):
+        prev = f"c{i-1}"
+        iter_ctes.append(f"""
+        a{i} AS (
+            SELECT id, q, list_id FROM (
+                SELECT v.id, v.q, c.list_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY v.id
+                           ORDER BY ({score}) DESC, c.list_id ASC) AS rn
+                FROM qv v CROSS JOIN {prev} c)
+            WHERE rn = 1),
+        u{i} AS (SELECT list_id, {cent} AS c FROM a{i} GROUP BY list_id),
+        c{i} AS (SELECT p.list_id, COALESCE(u.c, p.c) AS c
+                 FROM {prev} p LEFT JOIN u{i} u USING (list_id))""")
+    final = f"c{_IVF_ITERS}"
+    return f"""
+        WITH qv AS (
+            SELECT vec_id AS id,
+                   list_transform(CAST(embedding AS DOUBLE[]),
+                                  x -> CAST(floor(x*1000000) AS BIGINT)) AS q
+            FROM embeddings),
+        seeds AS (
+            SELECT q, ROW_NUMBER() OVER (
+                       ORDER BY md5(CAST(id AS VARCHAR)), id) AS rn
+            FROM qv QUALIFY rn <= {_IVF_LISTS}),
+        c0 AS (SELECT CAST(rn - 1 AS INT) AS list_id, q AS c FROM seeds),
+        {",".join(iter_ctes)},
+        fin AS (
+            SELECT id AS neighbor_id, list_id FROM (
+                SELECT v.id, c.list_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY v.id
+                           ORDER BY ({score}) DESC, c.list_id ASC) AS rn
+                FROM qv v CROSS JOIN {final} c)
+            WHERE rn = 1),
+        pr AS (
+            SELECT id AS query_id, list_id FROM (
+                SELECT v.id, c.list_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY v.id
+                           ORDER BY ({score}) DESC, c.list_id ASC) AS rn
+                FROM qv v CROSS JOIN {final} c)
+            WHERE rn <= {_IVF_PROBE}),
+        cand AS (
+            SELECT p.query_id, f.neighbor_id
+            FROM pr p JOIN fin f USING (list_id)
+            WHERE p.query_id != f.neighbor_id),
+        scored AS (
+            SELECT c.query_id, c.neighbor_id, {_COS_PAIR} AS cosine
+            FROM cand c
+            JOIN embeddings ea ON ea.vec_id = c.query_id
+            JOIN embeddings eb ON eb.vec_id = c.neighbor_id),
+        ranked AS (
+            SELECT *, CAST(ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+            ) AS INT) AS rank FROM scored)
+        SELECT query_id, neighbor_id, cosine, rank
+        FROM ranked WHERE rank <= {_IVF_K}
+    """
 
 
 def _q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2044,8 +2132,7 @@ def oracle_sql() -> dict[str, str]:
         "media_features": _oracle_media_features(),
         "lsh_ann": _oracle_lsh_ann(),
         "catboost_predict": _oracle_catboost_predict(),
-        # ivf_ann: intentionally no oracle (KMeans training is not
-        # SQL-expressible; rows-only check + recall floor in pytest)
+        "ivf_ann": _oracle_ivf_ann(),
         "load_collection": _oracle_load_collection(),
         "load_stac": _oracle_load_stac(),
         "sampled_features": _oracle_sampled_features(),

@@ -52,11 +52,27 @@ def cosine_topk_bruteforce(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_queries: int | None = 10_000,
 ) -> DataFrame:
     """Exact top-k by cosine for each query (default: self-join, excluding
-    self-matches). -> (query_id, neighbor_id, cosine, rank)."""
+    self-matches). -> (query_id, neighbor_id, cosine, rank).
+
+    This is the O(n*q) exact-rerank PRIMITIVE, not a scale path: total work
+    is corpus_rows x query_rows, so it is only safe when the query side is
+    small. ``max_queries`` enforces that contract (raises instead of
+    launching a planet-sized theta-join); the 10^12-row paths are
+    ``lsh_topk`` / ``ivf_topk_det``. Pass ``max_queries=None`` only in
+    tests that deliberately sweep the full corpus."""
     base = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vb"))
     q = (queries or emb).select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("va"))
+    if max_queries is not None:
+        n_q = q.limit(max_queries + 1).count()
+        if n_q > max_queries:
+            raise ValueError(
+                f"cosine_topk_bruteforce: query side has >{max_queries} rows; "
+                "this exact primitive is O(corpus x queries) — use lsh_topk or "
+                "ivf_topk_det for large query sets, or raise max_queries explicitly."
+            )
     pairs = (
         q.join(base, F.col("query_id") != F.col("neighbor_id"))
         .withColumn("cosine", F.round(cosine_col("va", "vb"), 6))
@@ -130,6 +146,153 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def _quantize_rows(v: pd.Series) -> np.ndarray:
+    """(n, dim) float64 of floor(x * 1e6): exact-integer doubles, the shared
+    quantization of every deterministic similarity path (see
+    hyperplane_buckets). Components stay within +-~1e6, so every dot /
+    squared-norm below is an integer-valued double < 2^53 — EXACT under any
+    summation order, hence bit-identical between a BLAS matmul here and a
+    left-fold SQL aggregate in the DuckDB oracle."""
+    V = np.stack(v.to_numpy()).astype(np.float64)
+    return np.floor(V * 1_000_000.0)
+
+
+def _list_score_matrix(Q: np.ndarray, C: np.ndarray) -> np.ndarray:
+    """(n, n_lists) nearest-centroid score 2*q.c - |c|^2 (argmax == argmin of
+    squared L2 distance; |q|^2 is constant per row so it is dropped). All
+    terms exact integers — see _quantize_rows."""
+    return 2.0 * (Q @ C.T) - (C * C).sum(axis=1)
+
+
+def ivf_centroids_det(
+    emb: DataFrame,
+    n_lists: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Deterministic, SQL-mirrorable coarse quantizer for IVF: seed centroids
+    are the ``n_lists`` quantized vectors with the smallest
+    (md5(id), id) — an order both Spark and DuckDB compute identically — then
+    a FIXED number of Lloyd iterations. Each iteration is one distributed
+    assign (Arrow argmax over broadcast centroids) + one groupBy with one
+    SUM per dimension; the new centroid component is
+    floor(double(sum)/count), exact in both engines while the per-list sum
+    stays under 2^53 (quantized components are ~1e6, so that holds to ~1e9
+    rows per list; beyond that a production build would keep the sums as
+    decimals). Empty lists keep their previous centroid. Returns the final
+    (n_lists, dim) integer-valued float64 centroid matrix.
+
+    Only O(n_lists * dim) values ever hit the driver per iteration — the
+    same driver<->executor traffic pattern as pyspark.ml KMeans."""
+    import math
+
+    qdf = emb.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("e")
+    )
+    seeds = (
+        qdf.select("e", F.md5(F.col("id").cast("string")).alias("h"), "id")
+        .orderBy("h", "id")
+        .limit(n_lists)
+        .collect()
+    )
+    C = np.floor(np.array([r["e"] for r in seeds], dtype=np.float64) * 1_000_000.0)
+    dim = C.shape[1]
+    sum_aggs = [
+        F.sum(F.floor(F.element_at("e", d + 1) * F.lit(1_000_000.0))).alias(f"s{d}")
+        for d in range(dim)
+    ]
+    for _ in range(iters):
+        assigned = qdf.withColumn("list_id", _assign_udf(C)(F.col("e")))
+        rows = assigned.groupBy("list_id").agg(F.count("*").alias("n"), *sum_aggs).collect()
+        newC = C.copy()
+        for r in rows:
+            newC[r["list_id"]] = [
+                math.floor(float(r[f"s{d}"]) / r["n"]) for d in range(dim)
+            ]
+        C = newC
+    return C
+
+
+def _assign_udf(C: np.ndarray):
+    """Arrow UDF: embedding -> nearest-centroid list id (ties -> smaller id,
+    matching ROW_NUMBER ORDER BY score DESC, list_id ASC in the oracle)."""
+
+    @pandas_udf("int")
+    def _assign(v: pd.Series) -> pd.Series:
+        S = _list_score_matrix(_quantize_rows(v), C)
+        return pd.Series(np.argmax(S, axis=1).astype(np.int32))
+
+    return _assign
+
+
+def ivf_topk_det(
+    emb: DataFrame,
+    k: int = 3,
+    n_lists: int = 8,
+    n_probe: int = 2,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN with the deterministic coarse quantizer (ivf_centroids_det):
+    every vector is assigned to its nearest final centroid; every query
+    probes its ``n_probe`` nearest lists and reranks exactly (cosine on the
+    original floats) within candidates. The ONLY join is the candidate
+    equi-join on list_id — probing happens against the broadcast centroid
+    matrix inside Arrow batches, so there is no crossJoin anywhere. At
+    10^12 rows, size n_lists ~ sqrt(n)/probe-budget (ivf_params_for) so each
+    list stays shuffle-partition-sized; here fixtures use small params the
+    DuckDB oracle mirrors stage for stage. -> (query_id, neighbor_id,
+    cosine, rank)."""
+    C = ivf_centroids_det(emb, n_lists, iters, id_col, vec_col)
+
+    @pandas_udf("array<int>")
+    def _probe(v: pd.Series) -> pd.Series:
+        S = _list_score_matrix(_quantize_rows(v), C)
+        # stable argsort on -S: ties keep ascending list_id, matching the
+        # oracle's ORDER BY score DESC, list_id ASC
+        order = np.argsort(-S, axis=1, kind="stable")[:, :n_probe].astype(np.int32)
+        return pd.Series(list(order))
+
+    assigned = emb.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("vb"),
+        _assign_udf(C)(F.col(vec_col)).alias("list_id"),
+    )
+    probed = emb.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("va"),
+        F.explode(_probe(F.col(vec_col))).alias("list_id"),
+    )
+    cand = probed.join(assigned, "list_id").where(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("cosine", F.round(cosine_col("va", "vb"), 6))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def ivf_params_for(n_rows: int, target_list_rows: int = 100_000) -> dict:
+    """Size IVF to the corpus: n_lists ~ n / target_list_rows keeps each
+    inverted list one healthy shuffle partition (the candidate equi-join on
+    list_id then never builds an oversized group); n_probe trades recall for
+    candidate volume. At 10^12 rows / 100k-target that is 10^7 lists —
+    centroid matrices that large move to a broadcast variable + hierarchical
+    (two-level) probe, which this sandbox-scale build documents but does not
+    need."""
+    import math
+
+    by_list_size = math.ceil(n_rows / max(1, target_list_rows))
+    by_sqrt = int(math.sqrt(max(4, n_rows)))
+    n_lists = max(2, min(by_sqrt, max(2, by_list_size)))
+    return {"n_lists": n_lists, "n_probe": max(2, n_lists // 8)}
 
 
 def hyperplane_buckets(

@@ -8,7 +8,9 @@ from openeo_geotrellis_extensions_spark.core.tiles import decode_tile_float
 from openeo_geotrellis_extensions_spark.operators.merge import merge_cubes
 from openeo_geotrellis_extensions_spark.pipeline.similarity import (
     cosine_topk_bruteforce,
+    ivf_params_for,
     ivf_topk,
+    ivf_topk_det,
 )
 from openeo_geotrellis_extensions_spark.sources.datacube import pattern_cube
 
@@ -69,3 +71,46 @@ def test_ivf_recall_vs_bruteforce(spark):
         for r in ivf_topk(emb, k=3, n_lists=16, n_probe=6).collect()
     }
     assert approx == approx2
+
+
+def test_ivf_det_recall_vs_bruteforce(spark):
+    """Deterministic IVF (md5-seeded fixed-Lloyd quantizer, the registered
+    oracle-checked path) keeps a recall floor vs exact brute force and is
+    run-to-run deterministic."""
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").cache()
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk_bruteforce(emb, k=3).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk_det(emb, k=3, n_lists=8, n_probe=2, iters=2).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    # 2/8 lists probed on random vectors (IVF worst case)
+    assert recall >= 0.4, f"deterministic IVF recall {recall:.2f}"
+    approx2 = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk_det(emb, k=3, n_lists=8, n_probe=2, iters=2).collect()
+    }
+    assert approx == approx2
+
+
+def test_bruteforce_query_guard(spark):
+    """cosine_topk_bruteforce refuses oversized query sides (the O(n*q)
+    theta-join is an exact-rerank primitive, not a scale path)."""
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    with pytest.raises(ValueError, match="query side"):
+        cosine_topk_bruteforce(emb, k=3, max_queries=10)
+    # explicit opt-out still works
+    assert cosine_topk_bruteforce(
+        emb.limit(30), k=1, max_queries=None
+    ).count() == 30
+
+
+def test_ivf_params_for_scaling():
+    p = ivf_params_for(10**12)
+    assert p["n_lists"] >= 10**5  # lists stay bounded-size at web scale
+    assert p["n_probe"] >= 2
+    small = ivf_params_for(500)
+    assert 2 <= small["n_lists"] <= 32
