@@ -651,6 +651,86 @@ def _oracle_resample_crs() -> str:
     """
 
 
+def _q_resample_utm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UTM warp (DatacubeSupport.scala:58-80 parity: best-zone pick + grid
+    snapping): arithmetic cube on DIGEST_LAYOUT (EPSG:4326) reprojected onto
+    the negotiated EPSG:32631 layout through the Krueger transverse-Mercator
+    series; the oracle regenerates every target pixel through the same
+    closed-form inverse-TM math with identical literal coefficients."""
+    from openeo_geotrellis_extensions_spark.core.proj import utm_layout_for
+    from openeo_geotrellis_extensions_spark.operators.resample import (
+        resample_spatial,
+    )
+
+    cube = arithmetic_cube(spark, DIGEST_LAYOUT, n_bands=1, cell_type="float64")
+    target = utm_layout_for(DIGEST_LAYOUT, resolution=14000.0)
+    assert target.crs == "EPSG:32631"  # zone negotiated from the extent center
+    return cube_digest(resample_spatial(cube, target))
+
+
+def _oracle_resample_utm() -> str:
+    """Target pixels regenerated via inverse transverse Mercator in SQL.
+    Every series coefficient is emitted as the repr() of the numpy double the
+    engine uses, so the only cross-engine drift is transcendental ulp noise
+    (~1e-15 deg, measured) against ~1e-3-deg margins to the nearest
+    source-pixel boundary."""
+    from openeo_geotrellis_extensions_spark.core import proj as P
+
+    target = P.utm_layout_for(DIGEST_LAYOUT, resolution=14000.0)
+    k0A = P._UTM_K0 * P._TM_A
+    b1, b2, b3, b4 = P._BETA
+    c1, c2, c3, c4 = P._CHI_C
+    zone, south = P.parse_utm(target.crs)
+    lon0 = float(zone * 6 - 183)
+    n0 = 10000000.0 if south else 0.0
+    res = 14000.0
+    src = f"""
+        SELECT d.date, t.c, t.r, 0 AS band,
+               CASE WHEN (gx % 8 + gy % 8 + gx // 8 + gy // 8 + d.di) % 13 = 0
+                    THEN NULL
+                    ELSE CAST(((gx % 8) * 3 + (gy % 8) * 5 + (gx // 8) * 13
+                               + (gy // 8) * 7 + d.di * 11) % 97 AS DOUBLE)
+               END AS v
+        FROM dates d, utiles t, upx px, upy py,
+        LATERAL (SELECT
+            ({target.extent.xmin!r} + (t.c * 8 + px.px + 0.5) * {res!r}) AS E,
+            ({target.extent.ymax!r} - (t.r * 8 + py.py + 0.5) * {res!r}) AS N
+        ) en,
+        LATERAL (SELECT (en.N - {n0!r}) / {k0A!r} AS xi0,
+                        (en.E - 500000.0) / {k0A!r} AS eta0) s0,
+        LATERAL (SELECT
+            s0.xi0 - {b1!r}*sin(2*s0.xi0)*((exp(2*s0.eta0)+exp(-2*s0.eta0))/2)
+                   - {b2!r}*sin(4*s0.xi0)*((exp(4*s0.eta0)+exp(-4*s0.eta0))/2)
+                   - {b3!r}*sin(6*s0.xi0)*((exp(6*s0.eta0)+exp(-6*s0.eta0))/2)
+                   - {b4!r}*sin(8*s0.xi0)*((exp(8*s0.eta0)+exp(-8*s0.eta0))/2) AS xi,
+            s0.eta0 - {b1!r}*cos(2*s0.xi0)*((exp(2*s0.eta0)-exp(-2*s0.eta0))/2)
+                    - {b2!r}*cos(4*s0.xi0)*((exp(4*s0.eta0)-exp(-4*s0.eta0))/2)
+                    - {b3!r}*cos(6*s0.xi0)*((exp(6*s0.eta0)-exp(-6*s0.eta0))/2)
+                    - {b4!r}*cos(8*s0.xi0)*((exp(8*s0.eta0)-exp(-8*s0.eta0))/2) AS eta) s1,
+        LATERAL (SELECT (exp(s1.eta)-exp(-s1.eta))/2 AS sh,
+                        (exp(s1.eta)+exp(-s1.eta))/2 AS ch,
+                        cos(s1.xi) AS cxi, sin(s1.xi) AS sxi) s2,
+        LATERAL (SELECT {lon0!r} + degrees(atan2(s2.sh, s2.cxi)) AS lon,
+                        asin(s2.sxi / s2.ch) AS chi) s3,
+        LATERAL (SELECT degrees(s3.chi + {c1!r}*sin(2*s3.chi)
+                                + {c2!r}*sin(4*s3.chi)
+                                + {c3!r}*sin(6*s3.chi)
+                                + {c4!r}*sin(8*s3.chi)) AS lat) s4,
+        LATERAL (SELECT CAST(floor(s3.lon / 0.125) AS INT) AS gx,
+                        CAST(floor((2.0 - s4.lat) / 0.125) AS INT) AS gy) g
+        WHERE gx >= 0 AND gx < 16 AND gy >= 0 AND gy < 16
+    """
+    return f"""
+        WITH {_digest_base_cte()},
+        utiles AS (SELECT CAST(c AS INT) AS c, CAST(r AS INT) AS r
+                   FROM generate_series(0, {target.layout_cols - 1}) t1(c),
+                        generate_series(0, {target.layout_rows - 1}) t2(r)),
+        upx AS (SELECT CAST(px AS INT) AS px FROM generate_series(0, 7) t(px)),
+        upy AS (SELECT CAST(py AS INT) AS py FROM generate_series(0, 7) t(py))
+        {_digest_tail(src)}
+    """
+
+
 def _q_retile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """retile 8x8 -> 4x4 tiles (OpenEOProcesses.retile :1001-1047): same
     pixels, 4x the keys."""
@@ -1103,17 +1183,38 @@ def _oracle_simhash() -> str:
     """
 
 
-#: LSH params shared by the registered embedding queries and their oracles
-_LSH_BITS, _LSH_TABLES, _LSH_DIM = 4, 8, 64
+#: LSH params shared by the registered embedding queries and their oracles.
+#: bits are DERIVED from the corpus row count (lsh_params_for) in both
+#: engines — the oracle computes the same ceil(log2(n/target)) in SQL and
+#: truncates a statically generated max-bits signature, so params scale with
+#: sf. The fixture target (64 rows/bucket) is small so sf0.01 vs sf0.1
+#: genuinely pick different bit widths; production uses the 1000-row default.
+_LSH_MAX_BITS, _LSH_TABLES, _LSH_DIM, _LSH_TARGET = 12, 8, 64, 64
+
+
+def _lsh_fixture_bits(emb) -> int:
+    from openeo_geotrellis_extensions_spark.pipeline.similarity import (
+        lsh_params_for,
+    )
+
+    return min(
+        _LSH_MAX_BITS,
+        lsh_params_for(emb.count(), target_bucket_rows=_LSH_TARGET)["bits"],
+    )
 
 
 def _q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed near-dups (the 100 TB path — bucket equi-join, never
-    O(n^2)); the DuckDB oracle mirrors the deterministic exact-integer
-    hyperplane signatures bucket for bucket."""
+    O(n^2)); bits sized to the corpus via lsh_params_for; the DuckDB oracle
+    mirrors the deterministic exact-integer hyperplane signatures bucket for
+    bucket AND the bit-width derivation."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return embedding_near_dups_lsh(
-        emb, threshold=0.4, bits=_LSH_BITS, tables=_LSH_TABLES, dim=_LSH_DIM
+        emb,
+        threshold=0.4,
+        bits=_lsh_fixture_bits(emb),
+        tables=_LSH_TABLES,
+        dim=_LSH_DIM,
     ).select(
         F.col("id_a").cast("long").alias("id_a"),
         F.col("id_b").cast("long").alias("id_b"),
@@ -1125,24 +1226,35 @@ def _lsh_buckets_cte() -> str:
     """DuckDB CTEs computing the SAME (id, bucket) pairs as
     similarity.hyperplane_buckets: quantized components floor(x*1e6) make
     every dot an exact integer-valued double, so signs match Spark bit for
-    bit regardless of summation order."""
+    bit regardless of summation order. The full _LSH_MAX_BITS signature is
+    generated statically and truncated to the count-derived width (the same
+    lsh_params_for sizing the Spark query applies); hyperplane coefficients
+    for bit b are independent of the total width, so truncation == choosing
+    fewer bits."""
     parts = []
     for t in range(_LSH_TABLES):
         bit_exprs = []
-        for b in range(_LSH_BITS):
+        for b in range(_LSH_MAX_BITS):
             coefs = hyperplane_coefs(t, b, _LSH_DIM)
             lit = "[" + ", ".join(f"{c}.0" for c in coefs) + "]"
             bit_exprs.append(
                 f"CASE WHEN list_dot_product(q, {lit}::DOUBLE[]) >= 0 THEN '1' ELSE '0' END"
             )
         sig = " || ".join(bit_exprs)
-        parts.append(f"SELECT vec_id AS id, '{t}:' || {sig} AS bucket FROM qv")
+        parts.append(
+            f"SELECT vec_id AS id, '{t}:' || substring({sig}, 1, p.bits) AS bucket "
+            f"FROM qv, lshp p"
+        )
     union = " UNION ALL ".join(parts)
     return f"""
         qv AS (SELECT vec_id,
                       list_transform(CAST(embedding AS DOUBLE[]),
                                      x -> floor(x * 1000000)) AS q
                FROM embeddings),
+        lshp AS (SELECT LEAST({_LSH_MAX_BITS}, GREATEST(1,
+                     CAST(ceil(log2(GREATEST(2.0, count(*) / {_LSH_TARGET}.0)))
+                          AS INT))) AS bits
+                 FROM embeddings),
         buckets AS ({union})
     """
 
@@ -1285,6 +1397,26 @@ def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     features (nodata 255 excluded)."""
     docs = synth_docs(spark, _n_docs(spark, sf_dir))
     return media_features(fetch_media(docs)).select(
+        "doc_id",
+        F.col("span_idx").cast("int").alias("span_idx"),
+        F.col("n_valid").cast("long").alias("n_valid"),
+        "mean_px",
+        "min_px",
+        "max_px",
+    )
+
+
+def _q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real PNG codec in-graph: media content round-trips through the repo's
+    stdlib PNG encoder+decoder (sinks/png.py) before the pixel reduce, so
+    the media_features oracle also gates the codec (any encode/decode bug
+    flips the stats)."""
+    from openeo_geotrellis_extensions_spark.pipeline.multimodal import (
+        media_decode_features,
+    )
+
+    docs = synth_docs(spark, _n_docs(spark, sf_dir))
+    return media_decode_features(fetch_media(docs)).select(
         "doc_id",
         F.col("span_idx").cast("int").alias("span_idx"),
         F.col("n_valid").cast("long").alias("n_valid"),
@@ -1491,7 +1623,9 @@ def _q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle-checked: the deterministic exact-integer signatures let DuckDB
     recompute bucket membership and the reranked top-k exactly."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return lsh_topk(emb, k=3, bits=_LSH_BITS, tables=_LSH_TABLES, dim=_LSH_DIM).select(
+    return lsh_topk(
+        emb, k=3, bits=_lsh_fixture_bits(emb), tables=_LSH_TABLES, dim=_LSH_DIM
+    ).select(
         F.col("query_id").cast("long").alias("query_id"),
         F.col("neighbor_id").cast("long").alias("neighbor_id"),
         "cosine",
@@ -1967,6 +2101,8 @@ def _oracle_dedup_groups() -> str:
 def _q_stream_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming event-time window + watermark, drained with an
     availableNow trigger — checked against the batch SQL below."""
+    import hashlib
+    import os
     import shutil
     import tempfile
     import uuid
@@ -1976,8 +2112,12 @@ def _q_stream_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         windowed_event_stats,
     )
 
-    src = tempfile.mkdtemp(prefix="ev_stream_")
-    shutil.copy(f"{sf_dir}/events.parquet", src)
+    # deterministic per-sf source dir, reused across repeated runs
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    src = os.path.join(tempfile.gettempdir(), f"ev_stream_{tag}")
+    if not os.path.exists(os.path.join(src, "events.parquet")):
+        os.makedirs(src, exist_ok=True)
+        shutil.copy(f"{sf_dir}/events.parquet", src)
     stream = windowed_event_stats(spark, src, window="1 day", watermark="2 days")
     name = f"q_stream_{uuid.uuid4().hex[:8]}"
     out = run_stream_to_memory(stream, name=name)
@@ -2003,7 +2143,11 @@ def _q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     CONTIGUOUS event_id ranges, so whatever prefix batching the file source
     picks, first-seen == global MIN(event_id) per hash — giving a clean SQL
     oracle for a stateful stream."""
+    import hashlib
+    import os
     import tempfile
+    import time as _time
+    import uuid
 
     import duckdb
 
@@ -2012,25 +2156,31 @@ def _q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         streaming_dedup_first_seen,
     )
 
-    d = tempfile.mkdtemp(prefix="ev_dedup_stream_")
-    con = duckdb.connect()
-    import os
-    import time as _time
-
-    t0 = int(_time.time()) - 3600
-    for i in range(8):
-        path = f"{d}/part_{i}.parquet"
-        con.execute(
-            f"COPY (SELECT event_id, ts, user_id, event_type, value, props FROM ("
-            f"SELECT *, NTILE(8) OVER (ORDER BY event_id) AS chunk "
-            f"FROM read_parquet('{sf_dir}/events.parquet')) WHERE chunk = {i + 1}) "
-            f"TO '{path}' (FORMAT PARQUET)"
-        )
-        # strictly increasing mtimes: FileStreamSource orders by modification
-        # time with OS-listing tie-break — same-ms writes would make batch
-        # composition (and therefore first-seen) nondeterministic
-        os.utime(path, (t0 + i, t0 + i))
-    import uuid
+    # deterministic per-sf chunk dir, built once and reused — bench's
+    # min-of-N repeats and repeated correctness runs must not accumulate
+    # orphaned temp dirs
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    d = os.path.join(tempfile.gettempdir(), f"ev_dedup_stream_{tag}")
+    expected = [os.path.join(d, f"part_{i}.parquet") for i in range(8)]
+    if not all(os.path.exists(p) for p in expected):
+        os.makedirs(d, exist_ok=True)
+        con = duckdb.connect()
+        try:
+            t0 = int(_time.time()) - 3600
+            for i, path in enumerate(expected):
+                con.execute(
+                    f"COPY (SELECT event_id, ts, user_id, event_type, value, props FROM ("
+                    f"SELECT *, NTILE(8) OVER (ORDER BY event_id) AS chunk "
+                    f"FROM read_parquet('{sf_dir}/events.parquet')) WHERE chunk = {i + 1}) "
+                    f"TO '{path}' (FORMAT PARQUET)"
+                )
+                # strictly increasing mtimes: FileStreamSource orders by
+                # modification time with OS-listing tie-break — same-ms writes
+                # would make batch composition (and therefore first-seen)
+                # nondeterministic
+                os.utime(path, (t0 + i, t0 + i))
+        finally:
+            con.close()
 
     out = run_stream_append_to_memory(
         streaming_dedup_first_seen(spark, d),
@@ -2064,6 +2214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "aggregate_temporal": _q_aggregate_temporal,
         "retile": _q_retile,
         "resample_crs": _q_resample_crs,
+        "resample_utm": _q_resample_utm,
         "apply_kernel": _q_apply_kernel,
         "reduce_bands_ndvi": _q_reduce_bands_ndvi,
         "text_quality": _q_text_quality,
@@ -2079,6 +2230,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_cosine": _q_knn_cosine,
         "geo_knn": _q_geo_knn,
         "media_features": _q_media_features,
+        "media_decode": _q_media_decode,
         "lsh_ann": _q_lsh_ann,
         "ivf_ann": _q_ivf_ann,
         "catboost_predict": _q_catboost_predict,
@@ -2115,6 +2267,7 @@ def oracle_sql() -> dict[str, str]:
         "aggregate_temporal": _oracle_aggregate_temporal(),
         "retile": _oracle_retile(),
         "resample_crs": _oracle_resample_crs(),
+        "resample_utm": _oracle_resample_utm(),
         "apply_kernel": _oracle_apply_kernel(),
         "reduce_bands_ndvi": _oracle_reduce_bands_ndvi(),
         "text_quality": _oracle_text_quality(),
@@ -2130,6 +2283,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_cosine": _ORACLE_KNN_COSINE,
         "geo_knn": _oracle_geo_knn(),
         "media_features": _oracle_media_features(),
+        "media_decode": _oracle_media_features(),
         "lsh_ann": _oracle_lsh_ann(),
         "catboost_predict": _oracle_catboost_predict(),
         "ivf_ann": _oracle_ivf_ann(),

@@ -155,7 +155,9 @@ def _crossings(px: np.ndarray, py: np.ndarray, ring: np.ndarray) -> np.ndarray:
     px = px[:, None]
     py = py[:, None]
     cond = (y0 > py) != (y1 > py)
-    with np.errstate(divide="ignore", invalid="ignore"):
+    # over: near-horizontal edges overflow the division to +-inf, which the
+    # cond mask already excludes — same degenerate class as divide-by-zero
+    with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
         xint = x0 + (py - y0) * (x1 - x0) / (y1 - y0)
     crosses = cond & (px < xint)
     return crosses.sum(axis=1) % 2 == 1

@@ -1,14 +1,21 @@
 """Pure-numpy CRS transforms — the engine's reprojection math.
 
 Scope mirrors what the reference exercises in its reproject tests
-(reproject/TileRDDReproject.scala:40-419, RasterRegionReproject.scala):
-the EPSG:4326 <-> EPSG:3857 (spherical web-Mercator) pair, which needs no
-proj library — closed-form log/tan/atan/exp. Both directions are
-AXIS-SEPARABLE (x' depends only on x, y' only on y) and strictly monotone,
-which the resample fragment step exploits: 1-D pixel-center arrays transform
-independently and extent corners bound the image exactly.
+(reproject/TileRDDReproject.scala:40-419, RasterRegionReproject.scala) and
+its default UTM layout (DatacubeSupport.scala:58-80):
 
-No Spark imports — runs inside pandas UDFs untouched.
+- EPSG:4326 <-> EPSG:3857 (spherical web-Mercator): closed-form
+  log/tan/atan/exp, AXIS-SEPARABLE (x' depends only on x, y' only on y)
+  and strictly monotone, so 1-D pixel-center arrays transform independently
+  and extent corners bound the image exactly.
+- EPSG:4326 <-> EPSG:326xx/327xx (WGS84 UTM, any zone): Krueger series
+  transverse Mercator on the WGS84 ellipsoid (alpha/beta series to n^4,
+  ~0.1 mm accuracy inside a zone) — NOT separable (easting depends on both
+  lon and lat), handled through the general point-transform API; extents
+  are bounded by densified edge sampling.
+- EPSG:3857 <-> UTM composes through 4326.
+
+No proj library, no Spark imports — runs inside pandas UDFs untouched.
 """
 
 from __future__ import annotations
@@ -61,25 +68,255 @@ _AXIS_TRANSFORMS: dict[tuple[str, str], tuple[AxisFn, AxisFn]] = {
 
 def transform_fns(src_crs: str, dst_crs: str) -> tuple[AxisFn, AxisFn]:
     """Separable (fx, fy) mapping src-CRS coords to dst-CRS coords.
-    Identity when the CRSs match; raises for unsupported pairs."""
+    Identity when the CRSs match; raises for non-separable pairs (UTM) —
+    those go through :func:`point_transform`."""
     if src_crs == dst_crs:
         return _identity, _identity
     try:
         return _AXIS_TRANSFORMS[(src_crs, dst_crs)]
     except KeyError:
         raise NotImplementedError(
-            f"CRS transform {src_crs} -> {dst_crs} not supported "
-            "(EPSG:4326 <-> EPSG:3857 only)"
+            f"CRS transform {src_crs} -> {dst_crs} is not axis-separable "
+            "(or unsupported) — use point_transform"
         ) from None
 
 
-def transform_extent(e: Extent, src_crs: str, dst_crs: str) -> Extent:
-    """Image of ``e`` under the (monotone, separable) transform — corners
-    bound it exactly."""
-    fx, fy = transform_fns(src_crs, dst_crs)
-    xs = fx(np.array([e.xmin, e.xmax]))
-    ys = fy(np.array([e.ymin, e.ymax]))
-    return Extent(float(xs.min()), float(ys.min()), float(xs.max()), float(ys.max()))
+# ---------------------------------------------------------------------------
+# WGS84 transverse Mercator (UTM) — Krueger alpha/beta series, order n^4.
+# The reference's default grid is UTM with 10 m snapping
+# (DatacubeSupport.scala:58-80); series accuracy inside a zone is ~0.1 mm,
+# far below any pixel size the engine handles.
+# ---------------------------------------------------------------------------
+
+#: WGS84 ellipsoid
+_WGS84_A = 6378137.0
+_WGS84_F = 1.0 / 298.257223563
+_UTM_K0 = 0.9996
+_UTM_E0 = 500000.0
+_UTM_N0_SOUTH = 10000000.0
+
+_E2 = _WGS84_F * (2.0 - _WGS84_F)
+_E1 = float(np.sqrt(_E2))
+_N = _WGS84_F / (2.0 - _WGS84_F)
+
+#: rectifying radius A (Krueger)
+_TM_A = _WGS84_A / (1.0 + _N) * (1.0 + _N**2 / 4.0 + _N**4 / 64.0)
+
+#: forward series (geodetic -> TM)
+_ALPHA = (
+    _N / 2.0 - 2.0 * _N**2 / 3.0 + 5.0 * _N**3 / 16.0 + 41.0 * _N**4 / 180.0,
+    13.0 * _N**2 / 48.0 - 3.0 * _N**3 / 5.0 + 557.0 * _N**4 / 1440.0,
+    61.0 * _N**3 / 240.0 - 103.0 * _N**4 / 140.0,
+    49561.0 * _N**4 / 161280.0,
+)
+
+#: inverse series (TM -> geodetic)
+_BETA = (
+    _N / 2.0 - 2.0 * _N**2 / 3.0 + 37.0 * _N**3 / 96.0 - _N**4 / 360.0,
+    _N**2 / 48.0 + _N**3 / 15.0 - 437.0 * _N**4 / 1440.0,
+    17.0 * _N**3 / 480.0 - 37.0 * _N**4 / 840.0,
+    4397.0 * _N**4 / 161280.0,
+)
+
+#: conformal -> geodetic latitude series (chi -> phi)
+_CHI_C = (
+    _E2 / 2.0 + 5.0 * _E2**2 / 24.0 + _E2**3 / 12.0 + 13.0 * _E2**4 / 360.0,
+    7.0 * _E2**2 / 48.0 + 29.0 * _E2**3 / 240.0 + 811.0 * _E2**4 / 11520.0,
+    7.0 * _E2**3 / 120.0 + 81.0 * _E2**4 / 1120.0,
+    4279.0 * _E2**4 / 161280.0,
+)
+
+
+def utm_crs(zone: int, south: bool = False) -> str:
+    """EPSG code string for a WGS84 UTM zone (326xx north / 327xx south)."""
+    if not 1 <= zone <= 60:
+        raise ValueError(f"UTM zone {zone} out of range 1..60")
+    return f"EPSG:{(32700 if south else 32600) + zone}"
+
+
+def parse_utm(crs: str) -> tuple[int, bool] | None:
+    """(zone, south) for EPSG:326xx/327xx strings, else None."""
+    if not crs.upper().startswith("EPSG:"):
+        return None
+    try:
+        code = int(crs.split(":", 1)[1])
+    except ValueError:
+        return None
+    if 32601 <= code <= 32660:
+        return code - 32600, False
+    if 32701 <= code <= 32760:
+        return code - 32700, True
+    return None
+
+
+def utm_zone_for(lon: float, lat: float) -> str:
+    """UTM CRS whose zone contains (lon, lat) — the reference's
+    bestUtmCrs pick for its default target layout
+    (DatacubeSupport.scala:58-62). Norway/Svalbard exceptions omitted (the
+    reference's grid negotiation does not apply them either)."""
+    zone = int((lon + 180.0) // 6.0) + 1
+    return utm_crs(min(60, max(1, zone)), south=lat < 0)
+
+
+def utm_forward(zone: int, south: bool):
+    """(lon_deg, lat_deg) arrays -> (easting, northing) for the zone.
+    Krueger forward: conformal latitude -> complex TM series."""
+    lon0 = float(zone * 6 - 183)
+    n0 = _UTM_N0_SOUTH if south else 0.0
+
+    def fwd(lon: np.ndarray, lat: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        lam = np.radians(np.asarray(lon, dtype=np.float64) - lon0)
+        phi = np.radians(np.asarray(lat, dtype=np.float64))
+        s = np.sin(phi)
+        with np.errstate(divide="ignore"):  # atanh(+-1) -> +-inf at the poles
+            t = np.sinh(np.arctanh(s) - _E1 * np.arctanh(_E1 * s))  # limit is exact
+        xi = np.arctan2(t, np.cos(lam))
+        eta = np.arcsinh(np.sin(lam) / np.sqrt(t * t + np.cos(lam) ** 2))
+        X, Y = xi.copy(), eta.copy()
+        for j, a in enumerate(_ALPHA, start=1):
+            X += a * np.sin(2 * j * xi) * np.cosh(2 * j * eta)
+            Y += a * np.cos(2 * j * xi) * np.sinh(2 * j * eta)
+        return _UTM_E0 + _UTM_K0 * _TM_A * Y, n0 + _UTM_K0 * _TM_A * X
+
+    return fwd
+
+
+def utm_inverse(zone: int, south: bool):
+    """(easting, northing) arrays -> (lon_deg, lat_deg) for the zone.
+    Krueger inverse + conformal-to-geodetic latitude series."""
+    lon0 = float(zone * 6 - 183)
+    n0 = _UTM_N0_SOUTH if south else 0.0
+
+    def inv(e: np.ndarray, n: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        xi = (np.asarray(n, dtype=np.float64) - n0) / (_UTM_K0 * _TM_A)
+        eta = (np.asarray(e, dtype=np.float64) - _UTM_E0) / (_UTM_K0 * _TM_A)
+        X, Y = xi.copy(), eta.copy()
+        for j, b in enumerate(_BETA, start=1):
+            X -= b * np.sin(2 * j * xi) * np.cosh(2 * j * eta)
+            Y -= b * np.cos(2 * j * xi) * np.sinh(2 * j * eta)
+        sh, cx = np.sinh(Y), np.cos(X)
+        lam = np.arctan2(sh, cx)
+        chi = np.arcsin(np.sin(X) / np.cosh(Y))
+        phi = chi.copy()
+        for j, c in enumerate(_CHI_C, start=1):
+            phi += c * np.sin(2 * j * chi)
+        return lon0 + np.degrees(lam), np.degrees(phi)
+
+    return inv
+
+
+PointFn = Callable[[np.ndarray, np.ndarray], tuple[np.ndarray, np.ndarray]]
+
+
+def _point_from_axes(fx: AxisFn, fy: AxisFn) -> PointFn:
+    def pt(x: np.ndarray, y: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        return fx(x), fy(y)
+
+    return pt
+
+
+def _compose(f: PointFn, g: PointFn) -> PointFn:
+    def pt(x: np.ndarray, y: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        return g(*f(x, y))
+
+    return pt
+
+
+def is_separable(src_crs: str, dst_crs: str) -> bool:
+    """True when the pair transforms each axis independently (identity,
+    4326<->3857); UTM pairs are not."""
+    return src_crs == dst_crs or (src_crs, dst_crs) in _AXIS_TRANSFORMS
+
+
+def point_transform(src_crs: str, dst_crs: str) -> PointFn:
+    """General (x, y) point transform between any two supported CRSs
+    (identity / 4326<->3857 / 4326<->UTM / 3857<->UTM via composition).
+    Arrays broadcast: works on 1-D axes and full 2-D meshgrids alike."""
+    if is_separable(src_crs, dst_crs):
+        return _point_from_axes(*transform_fns(src_crs, dst_crs))
+    src_utm, dst_utm = parse_utm(src_crs), parse_utm(dst_crs)
+    if src_utm and dst_crs == "EPSG:4326":
+        return utm_inverse(*src_utm)
+    if src_crs == "EPSG:4326" and dst_utm:
+        return utm_forward(*dst_utm)
+    if src_utm or dst_utm:  # UTM <-> 3857 or UTM <-> UTM: hop through 4326
+        return _compose(
+            point_transform(src_crs, "EPSG:4326"),
+            point_transform("EPSG:4326", dst_crs),
+        )
+    raise NotImplementedError(f"CRS transform {src_crs} -> {dst_crs} not supported")
+
+
+def transform_extent(e: Extent, src_crs: str, dst_crs: str, densify: int = 21) -> Extent:
+    """Image of ``e`` in the destination CRS. Separable monotone pairs are
+    bounded exactly by their corners; non-separable pairs (UTM) sample
+    ``densify`` points along each edge (the GDAL suggested-warp-output
+    approach) — curvature of a TM meridian/parallel image across a tile is
+    tiny, so 21 samples bound the true image to well under a pixel."""
+    if is_separable(src_crs, dst_crs):
+        fx, fy = transform_fns(src_crs, dst_crs)
+        xs = fx(np.array([e.xmin, e.xmax]))
+        ys = fy(np.array([e.ymin, e.ymax]))
+        return Extent(float(xs.min()), float(ys.min()), float(xs.max()), float(ys.max()))
+    pt = point_transform(src_crs, dst_crs)
+    tx = np.linspace(e.xmin, e.xmax, densify)
+    ty = np.linspace(e.ymin, e.ymax, densify)
+    bx = np.concatenate([tx, tx, np.full(densify, e.xmin), np.full(densify, e.xmax)])
+    by = np.concatenate([np.full(densify, e.ymin), np.full(densify, e.ymax), ty, ty])
+    ox, oy = pt(bx, by)
+    return Extent(float(ox.min()), float(oy.min()), float(ox.max()), float(oy.max()))
+
+
+def snap_extent(e: Extent, cell: float) -> Extent:
+    """Snap an extent outward to multiples of ``cell`` — the reference's
+    UTM 10 m grid snapping (DatacubeSupport.scala:58-80: aligned layouts so
+    identical requests always land on identical pixel grids)."""
+    return Extent(
+        float(np.floor(e.xmin / cell) * cell),
+        float(np.floor(e.ymin / cell) * cell),
+        float(np.ceil(e.xmax / cell) * cell),
+        float(np.ceil(e.ymax / cell) * cell),
+    )
+
+
+def utm_layout_for(
+    src: LayoutDefinition,
+    resolution: float = 10.0,
+    dst_crs: str | None = None,
+) -> LayoutDefinition:
+    """Target-layout negotiation onto the best UTM zone (DatacubeSupport
+    semantics): project the source extent, snap it outward to the
+    ``resolution`` grid, grow to a whole number of tiles (keeping the source
+    tile pixel size), so cell size is EXACTLY ``resolution`` meters and keys
+    stay in [0, layout) — the grid-alignment invariant
+    (OpenEOProcessesSpec.scala:581-600)."""
+    import math
+
+    if dst_crs is None:
+        cx = (src.extent.xmin + src.extent.xmax) / 2.0
+        cy = (src.extent.ymin + src.extent.ymax) / 2.0
+        if src.crs != "EPSG:4326":
+            lon, lat = point_transform(src.crs, "EPSG:4326")(
+                np.array([cx]), np.array([cy])
+            )
+            cx, cy = float(lon[0]), float(lat[0])
+        dst_crs = utm_zone_for(cx, cy)
+    ext = snap_extent(transform_extent(src.extent, src.crs, dst_crs), resolution)
+    layout_cols = max(1, math.ceil(ext.width / (resolution * src.tile_cols)))
+    layout_rows = max(1, math.ceil(ext.height / (resolution * src.tile_rows)))
+    return LayoutDefinition(
+        Extent(
+            ext.xmin,
+            ext.ymax - layout_rows * resolution * src.tile_rows,
+            ext.xmin + layout_cols * resolution * src.tile_cols,
+            ext.ymax,
+        ),
+        layout_cols,
+        layout_rows,
+        src.tile_cols,
+        src.tile_rows,
+        dst_crs,
+    )
 
 
 def reproject_layout(src: LayoutDefinition, dst_crs: str) -> LayoutDefinition:

@@ -98,10 +98,11 @@ def knn_join(
         )
         safe = radius * cell_size
         if rnd == max_rounds - 1:
-            # final round: resolve every remaining query with its best-so-far
-            # top-k (partial if the points table has < k rows) instead of
-            # silently dropping it
-            done_ids = kth.select("query_id")
+            # final round: resolve EVERY remaining query (not just those with
+            # candidates — kth only contains queries that found >=1 point) —
+            # best-so-far top-k, partial if the points table has < k rows,
+            # zero neighbor rows if no point fell inside the largest ring
+            done_ids = remaining.select("query_id")
         else:
             done_ids = kth.where((F.col("n") >= k) & (F.col("kth") < safe)).select(
                 "query_id"

@@ -9,9 +9,10 @@ per-tile region resample into the target grid -> merge fragments by new key;
 Ours: each source tile emits one fragment per overlapped target key
 (mapInPandas), then ``groupBy(target key)`` merges fragments — the classic
 explode + shuffle + merge, expressed as DataFrame ops so AQE sizes the
-shuffle. Nearest-neighbor sampling; CRS warping (EPSG:4326 <-> EPSG:3857,
-core/proj.py) runs through the same fragment step by forward-projecting the
-source footprint and inverse-projecting target pixel centers.
+shuffle. Nearest-neighbor sampling; CRS warping (EPSG:4326 <-> EPSG:3857
+and WGS84 UTM zones, core/proj.py) runs through the same fragment step by
+forward-projecting the source footprint and inverse-projecting the 2-D grid
+of target pixel centers.
 Negative/out-of-grid keys are filtered like filterNegativeSpatialKeys
 (OpenEOProcesses.scala:804-830).
 """
@@ -39,14 +40,15 @@ def resample_spatial(cube: DataCube, target: LayoutDefinition) -> DataCube:
     nearest-neighbor through the closed-form EPSG:4326<->3857 math in
     core/proj.py (the reference's TileRDDReproject fork, re-expressed as
     explode + shuffle + merge)."""
-    from ..core.proj import transform_extent, transform_fns
+    from ..core.proj import point_transform, transform_extent
 
     src = cube.meta.layout
     if src == target:
         return cube  # OpenEOProcesses.scala:833-835 short-circuit
     # validate the CRS pair up front (driver-side) so unsupported pairs fail
-    # fast instead of inside executors
-    inv_fx, inv_fy = transform_fns(target.crs, src.crs)
+    # fast instead of inside executors; the general point transform covers
+    # both separable (4326<->3857) and non-separable (UTM) pairs
+    inv_pt = point_transform(target.crs, src.crs)
 
     ct = cube.meta.cell_type
     n_bands = cube.meta.n_bands
@@ -68,21 +70,20 @@ def resample_spatial(cube: DataCube, target: LayoutDefinition) -> DataCube:
                 se_t = transform_extent(se, src.crs, target.crs)
                 for tc, tr in target.keys_for_extent(se_t):
                     xs, ys = target.pixel_centers_for_key(tc, tr)
-                    # nearest-neighbor: inverse-project target centers into
-                    # the source CRS, then map to source pixels (identity
-                    # fns when CRSs match — one unified code path)
-                    sx, sy = inv_fx(xs), inv_fy(ys)
+                    # nearest-neighbor: inverse-project the full grid of
+                    # target centers into the source CRS, then map to source
+                    # pixels — 2-D because UTM warps are not axis-separable
+                    # (identity/separable pairs broadcast through unchanged)
+                    XS, YS = np.meshgrid(xs, ys)
+                    sx, sy = inv_pt(XS, YS)
                     px = np.floor((sx - se.xmin) / src.cell_width).astype(np.int64)
                     py = np.floor((se.ymax - sy) / src.cell_height).astype(np.int64)
-                    okx = (px >= 0) & (px < shape[1])
-                    oky = (py >= 0) & (py < shape[0])
-                    if not okx.any() or not oky.any():
+                    ok = (px >= 0) & (px < shape[1]) & (py >= 0) & (py < shape[0])
+                    if not ok.any():
                         continue
                     frag = np.full((n_bands, th, tw), np.nan)
-                    ixg, iyg = np.meshgrid(px[okx], py[oky])
                     for b in range(n_bands):
-                        sub = stack[b][iyg, ixg]
-                        frag[b][np.ix_(oky, okx)] = sub
+                        frag[b][ok] = stack[b][py[ok], px[ok]]
                     bands = [
                         encode_band(out_ct.from_float_nan(frag[b]), out_ct)
                         for b in range(n_bands)

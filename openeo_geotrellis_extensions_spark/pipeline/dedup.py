@@ -266,11 +266,16 @@ def simhash_signatures(
     words = F.explode(
         F.split(F.expr(_NORM.format(col=text_col)), " ")
     ).alias("w")
-    exploded = df.select(F.col(id_col).alias("id"), words)
+    # hoist md5(w) into one column instead of recomputing it inside each of
+    # the ``bits`` aggregate expressions (don't rely on codegen subexpression
+    # elimination across aggregates)
+    exploded = df.select(F.col(id_col).alias("id"), words).withColumn(
+        "wh", F.md5(F.col("w"))
+    )
     contribs = [
         F.sum(
             F.when(
-                F.expr(f"instr('89abcdef', substring(md5(w), {p + 1}, 1))") > 0, 1
+                F.expr(f"instr('89abcdef', substring(wh, {p + 1}, 1))") > 0, 1
             ).otherwise(-1)
         ).alias(f"b{p}")
         for p in range(bits)
@@ -328,6 +333,9 @@ def connected_components(
         labels = new_labels.localCheckpoint(eager=True)  # cut lineage per round
         if changed == 0:
             break
+    # labels is checkpointed, so the cached edges are no longer reachable —
+    # release them (mirrors the pts.unpersist() pattern in knn_join)
+    edges.unpersist()
     return labels
 
 

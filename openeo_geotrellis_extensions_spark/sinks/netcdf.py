@@ -25,7 +25,13 @@ from ..core.celltype import parse_cell_type
 from ..core.tiles import decode_tile_float, encode_band
 from ..operators.zonal import feature_tile_keys
 from ..sources.datacube import DataCube
-from .netcdf_format import NcVar, read_cdf1, write_cdf1
+from .netcdf_format import (
+    NcVar,
+    read_cdf1,
+    read_cdf1_header,
+    read_cdf1_window,
+    write_cdf1,
+)
 
 #: refuse driver-side assembly beyond this many pixels (single-file writers
 #: mirror the reference's shuffle-to-driver design; bigger cubes should use
@@ -210,36 +216,72 @@ def save_samples(cube: DataCube, features, out_dir: str) -> pd.DataFrame:
 
 
 def load_netcdf(spark, path: str, layout, dates: list | None = None) -> DataCube:
-    """NetCDF collection source (layers/NetCDFCollection.scala:118 analog):
-    read a (t, band, y, x) netCDF written by this module back into a cube on
-    ``layout``. The file is read once driver-side (netCDF is not splittable
-    without the HDF5 runtime), then tiles distribute via createDataFrame —
-    suitable for assembled samples; massive archives should land in parquet."""
+    """NetCDF collection source (layers/NetCDFCollection.scala:118 analog,
+    distributed like the reference's stacked read): read a (t, band, y, x)
+    netCDF written by this module back into a cube on ``layout``.
+
+    SPLITTABLE: CDF-1 variables are plain big-endian arrays at fixed
+    offsets, so the driver parses ONLY the header (read_cdf1_header) and
+    fans out one task per (time, tile-row); each executor task seeks
+    directly to its (t, y-strip) byte range per band (read_cdf1_window) and
+    reads exactly tile_rows x full-width values — no task ever touches the
+    rest of the file, which is what lets a cube-sized .nc load across a
+    cluster. Requires a shared/POSIX view of ``path`` (same assumption as
+    every file-based source here)."""
+    from pyspark.sql import functions as F
+
     from ..sources.datacube import CubeMeta, cube_schema
 
-    data, coords = read_netcdf(path)
     ld = layout
     ct = parse_cell_type("float32")
     th, tw = ld.tile_rows, ld.tile_cols
-    nt, nb, ny, nx = data.shape
+    hdr = read_cdf1_header(path)
+    coord_names = {"t", "x", "y"}
+    band_names = [n for n in hdr["vars"] if n not in coord_names]
+    nb = len(band_names)
+    nt, ny, nx = hdr["vars"][band_names[0]]["shape"]
     if ny != ld.layout_rows * th or nx != ld.layout_cols * tw:
         raise ValueError("layout does not match netCDF grid shape")
+    t_secs = read_cdf1_window(path, hdr["vars"]["t"], (), 0, nt).astype(np.float64)
     times = (
-        dates
+        [pd.Timestamp(t) for t in dates]
         if dates is not None
-        else [str(np.datetime64(int(s), "s")) for s in coords["t"]]
+        else [pd.Timestamp(np.datetime64(int(s), "s")) for s in t_secs]
     )
-    rows = []
-    for ti in range(nt):
-        for r in range(ld.layout_rows):
-            for c in range(ld.layout_cols):
-                tile = data[ti, :, r * th : (r + 1) * th, c * tw : (c + 1) * tw]
-                if np.isnan(tile).all():
-                    continue
-                bands = [
-                    encode_band(ct.from_float_nan(tile[b]), ct) for b in range(nb)
-                ]
-                rows.append((pd.Timestamp(times[ti]).to_pydatetime(), c, r, bands))
-    df = spark.createDataFrame(rows, schema=cube_schema(True))
-    names = tuple(coords["bands"])
-    return DataCube(df, CubeMeta(ld, "float32", names, temporal=True))
+    band_meta = [hdr["vars"][n] for n in band_names]
+    fills = [
+        None if m["atts"].get("_FillValue") is None
+        else np.float64(np.float32(m["atts"]["_FillValue"]))
+        for m in band_meta
+    ]
+    layout_cols = ld.layout_cols
+
+    def read_strips(it):
+        for pdf in it:
+            rows = []
+            for task in pdf.itertuples(index=False):
+                ti, r = int(task.ti), int(task.r)
+                strips = []
+                for m, fill in zip(band_meta, fills):
+                    strip = read_cdf1_window(path, m, (ti,), r * th, th).astype(
+                        np.float64
+                    )
+                    if fill is not None:
+                        strip = np.where(strip == fill, np.nan, strip)
+                    strips.append(strip)
+                for c in range(layout_cols):
+                    tiles = [s[:, c * tw : (c + 1) * tw] for s in strips]
+                    if all(np.isnan(t).all() for t in tiles):
+                        continue
+                    bands = [
+                        encode_band(ct.from_float_nan(t), ct) for t in tiles
+                    ]
+                    rows.append((times[ti], c, r, bands))
+            yield pd.DataFrame(rows, columns=["time", "col", "row", "bands"])
+
+    tasks = spark.range(nt * ld.layout_rows).select(
+        (F.col("id") % nt).cast("int").alias("ti"),
+        (F.col("id") / nt).cast("int").alias("r"),
+    ).repartition(min(64, nt * ld.layout_rows))
+    df = tasks.mapInPandas(read_strips, schema=cube_schema(True))
+    return DataCube(df, CubeMeta(ld, "float32", tuple(band_names), temporal=True))

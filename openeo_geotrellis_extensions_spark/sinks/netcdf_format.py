@@ -178,10 +178,11 @@ def _read_atts(buf: bytes, off: int) -> tuple[dict, int]:
     return atts, off
 
 
-def read_cdf1(path: str) -> dict:
-    """Parse a CDF-1 file -> {'dims': [(name, size)], 'gatts': {...},
-    'vars': {name: {'dims': [...], 'atts': {...}, 'data': ndarray}}}."""
-    buf = open(path, "rb").read()
+def _parse_header(buf: bytes) -> dict:
+    """Parse the CDF-1 header from ``buf`` (a prefix of the file) ->
+    {'dims': [(name, size)], 'gatts': {...}, 'vars': {name: {'dims', 'atts',
+    'nc_type', 'shape', 'begin'}}}. Raises struct.error / IndexError when
+    ``buf`` is too short (caller re-reads a larger prefix)."""
     if buf[:4] != _MAGIC:
         raise ValueError("not a CDF-1 classic netCDF file")
     off = 8  # magic + numrecs
@@ -209,17 +210,81 @@ def read_cdf1(path: str) -> dict:
             t, vsize, begin = struct.unpack_from(">iii", buf, off)
             off += 12
             tname = _TAG_TO_TYPE[t]
-            _, dt, tsize = _TYPES[tname]
-            shape = tuple(dims[d][1] for d in dids)
-            count = int(np.prod(shape)) if shape else 1
-            raw = buf[begin : begin + count * tsize]
-            if tname == "char":
-                data = np.frombuffer(raw, dtype="S1").reshape(shape)
-            else:
-                data = np.frombuffer(raw, dtype=dt).reshape(shape)
             out_vars[name] = {
                 "dims": [dims[d][0] for d in dids],
                 "atts": atts,
-                "data": data,
+                "nc_type": tname,
+                "shape": tuple(dims[d][1] for d in dids),
+                "begin": begin,
             }
     return {"dims": dims, "gatts": gatts, "vars": out_vars}
+
+
+def read_cdf1_header(path: str, initial: int = 65536) -> dict:
+    """Header-only parse (no payload bytes read) — the driver-side half of a
+    SPLITTABLE read: var metadata carries fixed 'begin' offsets and shapes,
+    so executors can window-read byte ranges independently
+    (read_cdf1_window). Reads a growing prefix until the header parses."""
+    size = initial
+    while True:
+        with open(path, "rb") as f:
+            buf = f.read(size)
+        try:
+            return _parse_header(buf)
+        except (struct.error, IndexError):
+            if len(buf) < size:  # whole file read and still short
+                raise ValueError("truncated CDF-1 header") from None
+            size *= 4
+
+
+def read_cdf1_window(
+    path: str,
+    var_meta: dict,
+    prefix: tuple[int, ...],
+    along_start: int = 0,
+    n_along: int = 1,
+) -> np.ndarray:
+    """Read a CONTIGUOUS window of a fixed-size variable: elements whose
+    leading indices equal ``prefix``, for ``n_along`` values of the next
+    dimension starting at ``along_start`` (e.g. prefix=(ti,),
+    along_start=r*th, n_along=th -> a (th, nx) y-strip of a (t, y, x)
+    variable). CDF-1 fixed-size variables are plain big-endian row-major
+    arrays at known offsets, so this is one seek + read of exactly the
+    needed bytes — the executor-side half of the splittable read."""
+    _, dt, tsize = _TYPES[var_meta["nc_type"]]
+    shape = var_meta["shape"]
+    k = len(prefix)
+    if k >= len(shape):
+        raise ValueError("prefix must leave at least one free dimension")
+    tail = int(np.prod(shape[k + 1 :])) if len(shape) > k + 1 else 1
+    flat_start = 0
+    for i, p in enumerate(prefix):
+        flat_start += int(p) * int(np.prod(shape[i + 1 :]))
+    flat_start += int(along_start) * tail
+    count = n_along * tail
+    with open(path, "rb") as f:
+        f.seek(var_meta["begin"] + flat_start * tsize)
+        raw = f.read(count * tsize)
+    if var_meta["nc_type"] == "char":
+        arr = np.frombuffer(raw, dtype="S1")
+    else:
+        arr = np.frombuffer(raw, dtype=dt)
+    return arr.reshape((n_along,) + shape[k + 1 :])
+
+
+def read_cdf1(path: str) -> dict:
+    """Parse a CDF-1 file -> {'dims': [(name, size)], 'gatts': {...},
+    'vars': {name: {'dims': [...], 'atts': {...}, 'data': ndarray}}}."""
+    buf = open(path, "rb").read()
+    hdr = _parse_header(buf)
+    out_vars: dict = {}
+    for name, m in hdr["vars"].items():
+        _, dt, tsize = _TYPES[m["nc_type"]]
+        count = int(np.prod(m["shape"])) if m["shape"] else 1
+        raw = buf[m["begin"] : m["begin"] + count * tsize]
+        if m["nc_type"] == "char":
+            data = np.frombuffer(raw, dtype="S1").reshape(m["shape"])
+        else:
+            data = np.frombuffer(raw, dtype=dt).reshape(m["shape"])
+        out_vars[name] = {"dims": m["dims"], "atts": m["atts"], "data": data}
+    return {"dims": hdr["dims"], "gatts": hdr["gatts"], "vars": out_vars}

@@ -26,54 +26,110 @@ def _chunk(tag: bytes, payload: bytes) -> bytes:
     )
 
 
-def write_png(path: str, img: np.ndarray) -> None:
-    """img: (h, w) grayscale or (h, w, 3) RGB uint8."""
+def encode_png_bytes(img: np.ndarray) -> bytes:
+    """Encode (h, w) grayscale or (h, w, 3) RGB uint8 -> PNG bytes
+    (8-bit, filter type 0 per scanline)."""
     if img.ndim == 2:
-        color_type, nch = 0, 1
+        color_type = 0
         data = img[:, :, None]
     else:
-        color_type, nch = 2, 3
+        color_type = 2
         data = img
     h, w = data.shape[:2]
     raw = b"".join(
         b"\x00" + data[y].astype(np.uint8).tobytes() for y in range(h)
     )
     ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
-    png = (
+    return (
         b"\x89PNG\r\n\x1a\n"
         + _chunk(b"IHDR", ihdr)
         + _chunk(b"IDAT", zlib.compress(raw, 6))
         + _chunk(b"IEND", b"")
     )
+
+
+def write_png(path: str, img: np.ndarray) -> None:
+    """img: (h, w) grayscale or (h, w, 3) RGB uint8."""
     with open(path, "wb") as f:
-        f.write(png)
+        f.write(encode_png_bytes(img))
 
 
-def read_png(path: str) -> np.ndarray:
-    """Minimal parser for PNGs written by write_png (round-trip tests)."""
-    buf = open(path, "rb").read()
-    assert buf[:8] == b"\x89PNG\r\n\x1a\n"
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def decode_png_bytes(buf: bytes) -> np.ndarray:
+    """Decode 8-bit grayscale/RGB PNG bytes -> (h, w) or (h, w, 3) uint8.
+    Full scanline unfiltering (types 0 None / 1 Sub / 2 Up / 3 Average /
+    4 Paeth), so externally-produced non-interlaced 8-bit PNGs decode too,
+    not just this module's own filter-0 output."""
+    if buf[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
     pos = 8
-    w = h = ctype = None
+    w = h = ctype = bitd = interlace = None
     idat = b""
     while pos < len(buf):
         (ln,) = struct.unpack_from(">I", buf, pos)
         tag = buf[pos + 4 : pos + 8]
         payload = buf[pos + 8 : pos + 8 + ln]
         if tag == b"IHDR":
-            w, h, _, ctype, _, _, _ = struct.unpack(">IIBBBBB", payload)
+            w, h, bitd, ctype, _, _, interlace = struct.unpack(">IIBBBBB", payload)
         elif tag == b"IDAT":
             idat += payload
+        elif tag == b"IEND":
+            break
         pos += 12 + ln
-    raw = zlib.decompress(idat)
+    if bitd != 8 or ctype not in (0, 2) or interlace:
+        raise NotImplementedError(
+            f"PNG bit depth {bitd} / color type {ctype} / interlace {interlace} "
+            "unsupported (8-bit gray/RGB, non-interlaced only)"
+        )
     nch = 1 if ctype == 0 else 3
-    stride = 1 + w * nch
-    rows = [
-        np.frombuffer(raw[y * stride + 1 : (y + 1) * stride], dtype=np.uint8)
-        for y in range(h)
-    ]
-    img = np.stack(rows).reshape(h, w, nch)
+    raw = zlib.decompress(idat)
+    stride = w * nch
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        f = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)], dtype=np.uint8
+        ).astype(np.int64)
+        if f == 0:
+            cur = line
+        elif f == 2:  # Up
+            cur = (line + prev) & 0xFF
+        elif f == 3:  # Average
+            cur = line.copy()
+            for i in range(stride):
+                left = cur[i - nch] if i >= nch else 0
+                cur[i] = (line[i] + (left + prev[i]) // 2) & 0xFF
+        elif f in (1, 4):  # Sub / Paeth (sequential left-dependency)
+            cur = line.copy()
+            for i in range(stride):
+                left = cur[i - nch] if i >= nch else 0
+                if f == 1:
+                    cur[i] = (line[i] + left) & 0xFF
+                else:
+                    up = prev[i]
+                    ul = prev[i - nch] if i >= nch else 0
+                    cur[i] = (line[i] + _paeth(int(left), int(up), int(ul))) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {f}")
+        out[y] = cur
+        prev = cur
+    img = out.reshape(h, w, nch)
     return img[:, :, 0] if nch == 1 else img
+
+
+def read_png(path: str) -> np.ndarray:
+    """Parse a PNG file (see decode_png_bytes for supported subset)."""
+    return decode_png_bytes(open(path, "rb").read())
 
 
 def save_png(cube: DataCube, path: str, date: str | None = None,

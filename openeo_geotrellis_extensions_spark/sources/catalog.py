@@ -84,6 +84,31 @@ def product_tile_values(
     return out
 
 
+def product_rect_values(
+    product_index: int, c0: int, r0: int, nc: int, nr: int, band: int, size: int
+) -> np.ndarray:
+    """ONE full read of an (nr x nc)-key rectangle of a product — the
+    read-full-asset seam (FileLayerProvider.scala:142-157: when requested
+    windows cover most of an asset, one range request + in-memory slicing
+    beats per-window reads). Returns (nr*size, nc*size) pixels
+    byte-identical to tiling product_tile_values over the same keys."""
+    px = np.arange(nc * size)[None, :]
+    py = np.arange(nr * size)[:, None]
+    col = c0 + px // size
+    row = r0 + py // size
+    tpx = px % size
+    tpy = py % size
+    v = (product_index * 7 + col * 13 + row * 17 + band * 5 + tpy * 3 + tpx) % 83
+    out = v.astype(np.uint8)
+    out[(product_index + tpx + tpy) % 19 == 0] = 255
+    return out
+
+
+#: requested-window cover fraction above which _read_per_product switches to
+#: one full-rect read (the reference flips at ~50%)
+READ_FULL_THRESHOLD = 0.5
+
+
 CATALOG_CELL_TYPE = "uint8ud255"
 
 
@@ -161,6 +186,12 @@ def load_collection(
         raise ValueError(f"unknown read strategy {strategy!r}")
 
     def read_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        from ..runtime.ioretry import with_retries
+
+        # transient-error insurance around the window-read seam
+        # (FileLayerProvider.scala:68-79) — inert for the synthetic reader,
+        # load-bearing for a GDAL/object-store reader
+        read_window = with_retries(product_tile_values)
         c = int(pdf["col"].iloc[0])
         r = int(pdf["row"].iloc[0])
         date = pdf["date"].iloc[0]
@@ -168,7 +199,7 @@ def load_collection(
         for b in range(n_bands):
             acc = np.full((size, size), 255, dtype=np.uint8)
             for p in sorted(pdf["product_index"]):
-                tile = product_tile_values(int(p), c, r, b, size)
+                tile = read_window(int(p), c, r, b, size)
                 fill = acc == 255
                 acc[fill] = tile[fill]
             bands_out.append(acc.tobytes() if (acc != 255).any() else b"")
@@ -192,7 +223,17 @@ def _read_per_product(tasks: DataFrame, layout: LayoutDefinition, n_bands: int) 
     product index attached; stage 2 merges fragments per (date, key) in
     paint order (lowest VALID product wins per pixel). Identical results to
     the per-key strategy; the shuffle moves encoded fragments instead of
-    re-opening assets per key."""
+    re-opening assets per key.
+
+    MEMORY TRADEOFF vs per-key: read_product materializes every fragment of
+    one product in a single applyInPandas group — executor memory is bounded
+    by the largest product footprint (n_keys x n_bands x tile bytes), a bound
+    the per-key strategy does not have. Pick per-product when asset open
+    cost dominates (remote COGs) AND per-product footprints are tile-count
+    bounded (e.g. Sentinel-2 granules: ~100 km², a few hundred 256px keys);
+    fall back to per-key for mosaics whose single products span the whole
+    AOI. A production refinement is chunking read_product's output every K
+    keys, which caps the group at K tiles without changing results."""
     size = layout.tile_cols
 
     frag_schema = (
@@ -200,17 +241,39 @@ def _read_per_product(tasks: DataFrame, layout: LayoutDefinition, n_bands: int) 
     )
 
     def read_product(pdf: pd.DataFrame) -> pd.DataFrame:
+        from ..runtime.ioretry import dense_cover_fraction, with_retries
+
         p = int(pdf["product_index"].iloc[0])
         date = pdf["date"].iloc[0]
         rows = []
-        # the single 'open' of this product happens here; each key then
-        # windows into it (product_tile_values is the GDAL window-read seam)
-        for c, r in sorted({(int(c), int(r)) for c, r in zip(pdf["col"], pdf["row"])}):
-            bands = [
-                product_tile_values(p, c, r, b, size).tobytes()
+        keys = sorted({(int(c), int(r)) for c, r in zip(pdf["col"], pdf["row"])})
+        c0 = min(k[0] for k in keys); c1 = max(k[0] for k in keys)
+        r0 = min(k[1] for k in keys); r1 = max(k[1] for k in keys)
+        # read-full heuristic (FileLayerProvider.scala:142-157): when the
+        # requested keys cover most of their bounding rect, ONE full-rect
+        # read + slicing beats per-window reads (one range request vs many)
+        if dense_cover_fraction(keys, c0, r0, c1, r1) > READ_FULL_THRESHOLD:
+            read_rect = with_retries(product_rect_values)
+            planes = [
+                read_rect(p, c0, r0, c1 - c0 + 1, r1 - r0 + 1, b, size)
                 for b in range(n_bands)
             ]
-            rows.append((pd.Timestamp(date), c, r, p, bands))
+            for c, r in keys:
+                ro, co = (r - r0) * size, (c - c0) * size
+                bands = [
+                    pl[ro : ro + size, co : co + size].tobytes() for pl in planes
+                ]
+                rows.append((pd.Timestamp(date), c, r, p, bands))
+        else:
+            # sparse cover: per-key window reads, each retried
+            # (FileLayerProvider.scala:68-79)
+            read_window = with_retries(product_tile_values)
+            for c, r in keys:
+                bands = [
+                    read_window(p, c, r, b, size).tobytes()
+                    for b in range(n_bands)
+                ]
+                rows.append((pd.Timestamp(date), c, r, p, bands))
         return pd.DataFrame(
             rows, columns=["time", "col", "row", "product_index", "bands"]
         )

@@ -64,6 +64,35 @@ def windowed_event_stats(
     )
 
 
+
+def _await_drained(q, name: str, timeout_sec: int) -> None:
+    """Wait until the availableNow query has processed ALL source data, then
+    ensure it is stopped — never return a partially-populated memory table.
+
+    Plain awaitTermination is not enough: a stateful query with
+    processing-time timeouts armed keeps scheduling timer-only micro-batches
+    after the data is exhausted (observed: hundreds of empty epochs), so the
+    query never self-terminates. Data-drained is instead detected as a
+    COMPLETED batch with numInputRows == 0 — under availableNow, batches
+    carry data until the source is exhausted, so the first empty batch marks
+    the drain; the query is then stopped explicitly. On a genuine timeout
+    (data still flowing) stop and raise instead of returning partial
+    results."""
+    import time
+
+    deadline = time.monotonic() + timeout_sec
+    while time.monotonic() < deadline:
+        if q.awaitTermination(1):
+            return  # terminated on its own (no timers armed)
+        progress = q.recentProgress
+        if progress and progress[-1]["numInputRows"] == 0:
+            q.stop()
+            q.awaitTermination(max(1, int(deadline - time.monotonic())))
+            return
+    q.stop()
+    raise TimeoutError(f"stream '{name}' did not drain within {timeout_sec}s")
+
+
 def run_stream_to_memory(
     stream_df: DataFrame, name: str = "stream_out", timeout_sec: int = 120
 ) -> DataFrame:
@@ -77,7 +106,7 @@ def run_stream_to_memory(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_sec)
+    _await_drained(q, name, timeout_sec)
     return stream_df.sparkSession.table(name)
 
 
@@ -186,5 +215,5 @@ def run_stream_append_to_memory(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_sec)
+    _await_drained(q, name, timeout_sec)
     return stream_df.sparkSession.table(name)

@@ -188,8 +188,10 @@ def test_reproject_3857_to_4326_roundtrip_keys(spark):
 
 
 def test_reproject_unsupported_pair_raises(spark):
+    # UTM became a supported target (core/proj.py Krueger series); a conic
+    # CRS the engine has no math for must still fail fast, driver-side
     cube = constant_cube(spark, LAYOUT)
-    bad = LayoutDefinition(Extent(0.0, 0.0, 2.0, 2.0), 2, 2, 8, 8, "EPSG:32631")
+    bad = LayoutDefinition(Extent(0.0, 0.0, 2.0, 2.0), 2, 2, 8, 8, "EPSG:2154")
     with pytest.raises(NotImplementedError):
         resample_spatial(cube, bad)
 

@@ -386,3 +386,41 @@ def test_sample_shapes_consistent_when_boundary_tile_missing_one_date(spark, tmp
         if row["date"] == DATES[0]:
             assert (bands[0, :, 0:8] == nd).all()  # hole stays nodata
     assert shapes == {(1, 8, 24)} and extents == {Extent(0.0, 0.0, 3.0, 1.0)}
+
+
+def test_netcdf_splittable_header_and_window(spark, tmp_path):
+    """The distributed NetCDF source: the driver parses ONLY the header;
+    per-(t, y-strip) executor window reads return byte-identical slices of
+    the full array, and the load_netcdf plan is a distributed mapInPandas
+    over a Range of tasks (no driver-side tile materialization)."""
+    from openeo_geotrellis_extensions_spark.sinks.netcdf import (
+        load_netcdf,
+        read_netcdf,
+        save_netcdf,
+    )
+    from openeo_geotrellis_extensions_spark.sinks.netcdf_format import (
+        read_cdf1_header,
+        read_cdf1_window,
+    )
+
+    cube = arithmetic_cube(spark, LAYOUT, n_bands=2, cell_type="int32")
+    p = str(tmp_path / "cube.nc")
+    save_netcdf(cube, p)
+
+    hdr = read_cdf1_header(p)
+    bands = [n for n in hdr["vars"] if n not in ("t", "x", "y")]
+    assert len(bands) == 2
+    full, coords = read_netcdf(p)
+    nt, nb, ny, nx = full.shape
+    fill = np.float64(np.float32(hdr["vars"][bands[0]]["atts"]["_FillValue"]))
+    for ti in range(nt):
+        for y0 in range(0, ny, 8):
+            strip = read_cdf1_window(p, hdr["vars"][bands[0]], (ti,), y0, 8)
+            strip = strip.astype(np.float64)
+            strip = np.where(strip == fill, np.nan, strip)
+            np.testing.assert_array_equal(strip, full[ti, 0, y0 : y0 + 8, :])
+
+    out = load_netcdf(spark, p, LAYOUT)
+    plan = out.df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan and "Range" in plan, plan
+    assert "LocalTableScan" not in plan  # no driver-side materialization
