@@ -731,6 +731,40 @@ def _oracle_resample_utm() -> str:
     """
 
 
+def _q_load_netcdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed NetCDF source under the oracle gate: the arithmetic cube
+    is written once to a CDF-1 file (this repo's own writer), loaded back
+    through the SPLITTABLE reader (header-only driver parse + per-(t,
+    y-strip) executor byte-range reads, sinks/netcdf.py), and digested; the
+    oracle is the plain arithmetic digest — any container or windowing bug
+    breaks the identity."""
+    import os
+    import tempfile
+
+    from openeo_geotrellis_extensions_spark.sinks.netcdf import (
+        load_netcdf,
+        save_netcdf,
+    )
+
+    cube = arithmetic_cube(spark, DIGEST_LAYOUT, n_bands=1, cell_type="float32")
+    path = os.path.join(tempfile.gettempdir(), "nc_digest_roundtrip.nc")
+    if not os.path.exists(path):
+        save_netcdf(cube, path)
+    return cube_digest(load_netcdf(spark, path, DIGEST_LAYOUT))
+
+
+def _oracle_load_netcdf() -> str:
+    # identity: the netCDF write+distributed-read round trip must reproduce
+    # the arithmetic cube exactly (values 0..96 are float32-exact)
+    src = f"""
+        SELECT d.date, t.c, t.r, 0 AS band,
+               CASE WHEN {_NA.format(b=0)} THEN NULL
+                    ELSE CAST({_VA.format(b=0)} AS DOUBLE) END AS v
+        FROM dates d, tiles t, px, py
+    """
+    return f"WITH {_digest_base_cte()} {_digest_tail(src)}"
+
+
 def _q_retile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """retile 8x8 -> 4x4 tiles (OpenEOProcesses.retile :1001-1047): same
     pixels, 4x the keys."""
@@ -2215,6 +2249,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retile": _q_retile,
         "resample_crs": _q_resample_crs,
         "resample_utm": _q_resample_utm,
+        "load_netcdf": _q_load_netcdf,
         "apply_kernel": _q_apply_kernel,
         "reduce_bands_ndvi": _q_reduce_bands_ndvi,
         "text_quality": _q_text_quality,
@@ -2268,6 +2303,7 @@ def oracle_sql() -> dict[str, str]:
         "retile": _oracle_retile(),
         "resample_crs": _oracle_resample_crs(),
         "resample_utm": _oracle_resample_utm(),
+        "load_netcdf": _oracle_load_netcdf(),
         "apply_kernel": _oracle_apply_kernel(),
         "reduce_bands_ndvi": _oracle_reduce_bands_ndvi(),
         "text_quality": _oracle_text_quality(),

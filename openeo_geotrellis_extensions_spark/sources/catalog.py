@@ -225,16 +225,17 @@ def _read_per_product(tasks: DataFrame, layout: LayoutDefinition, n_bands: int) 
     the per-key strategy; the shuffle moves encoded fragments instead of
     re-opening assets per key.
 
-    MEMORY TRADEOFF vs per-key: read_product materializes every fragment of
-    one product in a single applyInPandas group — executor memory is bounded
-    by the largest product footprint (n_keys x n_bands x tile bytes), a bound
-    the per-key strategy does not have. Pick per-product when asset open
-    cost dominates (remote COGs) AND per-product footprints are tile-count
-    bounded (e.g. Sentinel-2 granules: ~100 km², a few hundred 256px keys);
-    fall back to per-key for mosaics whose single products span the whole
-    AOI. A production refinement is chunking read_product's output every K
-    keys, which caps the group at K tiles without changing results."""
+    MEMORY BOUND vs per-key: read_product materializes every fragment of one
+    group in one pandas DataFrame, so groups are SPATIALLY CHUNKED — the
+    grouping key includes (col // chunk_keys, row // chunk_keys), capping any
+    group at chunk_keys^2 tiles x n_bands regardless of product footprint
+    (a whole-AOI mosaic product costs ceil(n_keys/chunk^2) opens instead of
+    one, the standard memory/open-count dial). Chunks are spatially coherent,
+    which keeps the read-full-rect heuristic dense. Pick per-product when
+    asset open cost dominates (remote COGs); per-key when products are
+    opened cheaply."""
     size = layout.tile_cols
+    chunk_keys = 8  # <= 64 tiles per group (chunk_keys^2)
 
     frag_schema = (
         "time timestamp, col int, row int, product_index int, bands array<binary>"
@@ -278,9 +279,12 @@ def _read_per_product(tasks: DataFrame, layout: LayoutDefinition, n_bands: int) 
             rows, columns=["time", "col", "row", "product_index", "bands"]
         )
 
-    frags = tasks.groupBy("product_index", "date").applyInPandas(
-        read_product, schema=frag_schema
-    )
+    chunked = tasks.withColumn(
+        "_chunk_c", (F.col("col") / chunk_keys).cast("int")
+    ).withColumn("_chunk_r", (F.col("row") / chunk_keys).cast("int"))
+    frags = chunked.groupBy(
+        "product_index", "date", "_chunk_c", "_chunk_r"
+    ).applyInPandas(read_product, schema=frag_schema)
 
     def merge_key(pdf: pd.DataFrame) -> pd.DataFrame:
         order = pdf.sort_values("product_index")
