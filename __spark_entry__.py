@@ -731,6 +731,40 @@ def _oracle_resample_utm() -> str:
     """
 
 
+#: 2x-downscale target for the bilinear method query (same extent, 1 tile)
+_DOWN2_LAYOUT = LayoutDefinition(_Extent(0.0, 0.0, 2.0, 2.0), 1, 1, 8, 8)
+
+
+def _q_resample_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bilinear ResampleMethod (TileRDDReproject.scala:40-90 takes a
+    geotrellis ResampleMethod; ours: NaN-aware weight renormalization over
+    the halo-padded 2x2 neighborhood). The 2x downscale puts every target
+    center at wx=wy=0.5, so each output pixel is the mean of its block's
+    VALID pixels — closed-form for the oracle."""
+    from openeo_geotrellis_extensions_spark.operators.resample import (
+        resample_spatial,
+    )
+
+    cube = arithmetic_cube(spark, DIGEST_LAYOUT, n_bands=1, cell_type="float64")
+    return cube_digest(resample_spatial(cube, _DOWN2_LAYOUT, method="bilinear"))
+
+
+def _oracle_resample_bilinear() -> str:
+    src = f"""
+        SELECT date, 0 AS c, 0 AS r, 0 AS band, bv AS v
+        FROM (
+            SELECT d.date,
+                   (t.c * 8 + px.px) // 2 AS bx,
+                   (t.r * 8 + py.py) // 2 AS by,
+                   AVG(CASE WHEN {_NA.format(b=0)} THEN NULL
+                            ELSE CAST({_VA.format(b=0)} AS DOUBLE) END) AS bv
+            FROM dates d, tiles t, px, py
+            GROUP BY d.date, bx, by
+        )
+    """
+    return f"WITH {_digest_base_cte()} {_digest_tail(src)}"
+
+
 def _q_load_netcdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed NetCDF source under the oracle gate: the arithmetic cube
     is written once to a CDF-1 file (this repo's own writer), loaded back
@@ -1460,6 +1494,54 @@ def _q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nodata-aware box downsample (the training-pipeline image-resize
+    primitive): one row per output pixel; block means are exact rationals,
+    so the oracle matches bit for bit."""
+    from openeo_geotrellis_extensions_spark.pipeline.multimodal import (
+        media_resize,
+    )
+
+    docs = synth_docs(spark, _n_docs(spark, sf_dir))
+    return media_resize(fetch_media(docs), factor=2).select(
+        "doc_id",
+        F.col("span_idx").cast("int").alias("span_idx"),
+        F.col("by").cast("int").alias("by"),
+        F.col("bx").cast("int").alias("bx"),
+        "block_mean",
+    )
+
+
+def _oracle_media_resize() -> str:
+    a = doc_attr_sql("id")
+    return f"""
+        WITH ids AS (SELECT doc_id AS id FROM documents),
+        media AS (
+            SELECT id, CAST(j AS INT) AS span_idx,
+                   {a['tile_col']} AS c, {a['tile_row']} AS r,
+                   CAST((id + j) % 4 AS INT) AS d, CAST(j % 2 AS INT) AS band
+            FROM ids, generate_series(0, 4) t(j)
+            WHERE j < 2 + (id % 4) AND (id + j) % 3 >= 2
+        ),
+        px AS (SELECT CAST(px AS INT) AS px FROM generate_series(0, 15) t(px)),
+        py AS (SELECT CAST(py AS INT) AS py FROM generate_series(0, 15) t(py)),
+        pixels AS (
+            SELECT m.id, m.span_idx,
+                   py.py // 2 AS by, px.px // 2 AS bx,
+                   CASE WHEN (m.c + m.r + px.px + py.py) % 23 = 0 THEN NULL
+                        ELSE CAST((m.c * 31 + m.r * 17 + m.d * 11 + m.band * 7
+                                   + py.py * 5 + px.px * 3) % 100 AS DOUBLE)
+                   END AS v
+            FROM media m, px, py
+        )
+        SELECT printf('doc_%08d', id) AS doc_id, span_idx,
+               CAST(by AS INT) AS by, CAST(bx AS INT) AS bx,
+               AVG(v) AS block_mean
+        FROM pixels
+        GROUP BY id, span_idx, by, bx
+    """
+
+
 def _oracle_media_features() -> str:
     a = doc_attr_sql("id")
     return f"""
@@ -2161,6 +2243,51 @@ def _q_stream_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join (broadcast dim per micro-batch) ->
+    watermarked windowed agg, availableNow drain — batch SQL oracle."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from openeo_geotrellis_extensions_spark.streaming.events import (
+        run_stream_to_memory,
+        stream_static_enriched_stats,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    src = os.path.join(tempfile.gettempdir(), f"ev_stream_{tag}")
+    if not os.path.exists(os.path.join(src, "events.parquet")):
+        os.makedirs(src, exist_ok=True)
+        shutil.copy(f"{sf_dir}/events.parquet", src)
+    # deterministic per-type weights the oracle recomputes arithmetically
+    dim = spark.sql(
+        "SELECT event_type, CAST(1.0 + length(event_type) * 0.25 AS DOUBLE) AS weight "
+        "FROM VALUES ('click'), ('view'), ('purchase'), ('signup') AS t(event_type)"
+    )
+    stream = stream_static_enriched_stats(
+        spark, src, dim, window="1 day", watermark="2 days"
+    )
+    out = run_stream_to_memory(stream, name=f"q_stream_join_{uuid.uuid4().hex[:8]}")
+    return out.select(
+        "window_start", "event_type",
+        F.col("n").cast("long").alias("n"), "wsum",
+    )
+
+
+_ORACLE_STREAM_JOIN = """
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS window_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(value * (1.0 + length(event_type) * 0.25)), 4) AS wsum
+    FROM events
+    WHERE event_type IN ('click', 'view', 'purchase', 'signup')
+    GROUP BY 1, 2
+"""
+
+
 _ORACLE_STREAM_WINDOWED = """
     SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS window_start,
            event_type,
@@ -2248,6 +2375,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "aggregate_temporal": _q_aggregate_temporal,
         "retile": _q_retile,
         "resample_crs": _q_resample_crs,
+        "resample_bilinear": _q_resample_bilinear,
         "resample_utm": _q_resample_utm,
         "load_netcdf": _q_load_netcdf,
         "apply_kernel": _q_apply_kernel,
@@ -2266,6 +2394,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_knn": _q_geo_knn,
         "media_features": _q_media_features,
         "media_decode": _q_media_decode,
+        "media_resize": _q_media_resize,
         "lsh_ann": _q_lsh_ann,
         "ivf_ann": _q_ivf_ann,
         "catboost_predict": _q_catboost_predict,
@@ -2281,6 +2410,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pyramid_zoom_out": _q_pyramid,
         "dedup_groups": _q_dedup_groups,
         "stream_windowed": _q_stream_windowed,
+        "stream_join": _q_stream_join,
         "stream_dedup_stateful": _q_stream_dedup,
     }
 
@@ -2302,6 +2432,7 @@ def oracle_sql() -> dict[str, str]:
         "aggregate_temporal": _oracle_aggregate_temporal(),
         "retile": _oracle_retile(),
         "resample_crs": _oracle_resample_crs(),
+        "resample_bilinear": _oracle_resample_bilinear(),
         "resample_utm": _oracle_resample_utm(),
         "load_netcdf": _oracle_load_netcdf(),
         "apply_kernel": _oracle_apply_kernel(),
@@ -2320,6 +2451,7 @@ def oracle_sql() -> dict[str, str]:
         "geo_knn": _oracle_geo_knn(),
         "media_features": _oracle_media_features(),
         "media_decode": _oracle_media_features(),
+        "media_resize": _oracle_media_resize(),
         "lsh_ann": _oracle_lsh_ann(),
         "catboost_predict": _oracle_catboost_predict(),
         "ivf_ann": _oracle_ivf_ann(),
@@ -2335,5 +2467,6 @@ def oracle_sql() -> dict[str, str]:
         "pyramid_zoom_out": _oracle_pyramid(),
         "dedup_groups": _oracle_dedup_groups(),
         "stream_windowed": _ORACLE_STREAM_WINDOWED,
+        "stream_join": _ORACLE_STREAM_JOIN,
         "stream_dedup_stateful": _ORACLE_STREAM_DEDUP,
     }

@@ -32,16 +32,26 @@ from ..core.tiles import decode_tile_float, encode_band
 from ..sources.datacube import CubeMeta, DataCube, cube_schema
 
 
-def resample_spatial(cube: DataCube, target: LayoutDefinition) -> DataCube:
+def resample_spatial(
+    cube: DataCube, target: LayoutDefinition, method: str = "near"
+) -> DataCube:
     """Regrid onto ``target`` (no-op when layouts already match). When the
     target CRS differs, the SAME fragment step warps: the source tile extent
     is forward-projected to find overlapped target keys, and target pixel
-    centers are inverse-projected back into source pixel space —
-    nearest-neighbor through the closed-form EPSG:4326<->3857 math in
-    core/proj.py (the reference's TileRDDReproject fork, re-expressed as
-    explode + shuffle + merge)."""
+    centers are inverse-projected back into source pixel space — through the
+    closed-form EPSG:4326<->3857 / UTM math in core/proj.py (the reference's
+    TileRDDReproject fork, re-expressed as explode + shuffle + merge).
+
+    ``method``: 'near' (nearest-neighbor, default) or 'bilinear' — the two
+    ResampleMethods the reference's reproject path exercises
+    (TileRDDReproject.scala:40-90 takes a geotrellis ResampleMethod).
+    Bilinear is NaN-aware: nodata neighbors drop out and the remaining
+    weights renormalize (a fully-nodata neighborhood stays nodata), matching
+    the ignore-nodata convention of the aggregation reducers."""
     from ..core.proj import point_transform, transform_extent
 
+    if method not in ("near", "bilinear"):
+        raise ValueError(f"unknown resample method {method!r}")
     src = cube.meta.layout
     if src == target:
         return cube  # OpenEOProcesses.scala:833-835 short-circuit
@@ -53,9 +63,13 @@ def resample_spatial(cube: DataCube, target: LayoutDefinition) -> DataCube:
     ct = cube.meta.cell_type
     n_bands = cube.meta.n_bands
     shape = cube.meta.tile_shape
-    out_ct = parse_cell_type(ct)
+    # bilinear produces fractional values: output promotes to float64
+    # (the reference's reproject likewise changes cell type with the method)
+    out_ct = parse_cell_type("float64" if method == "bilinear" else ct)
     temporal = cube.meta.temporal
     frag_schema = cube_schema(temporal)
+    bilinear = method == "bilinear"
+    src_df = _pad_one_pixel(cube) if bilinear else cube.df
 
     def fragments(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         th, tw = target.tile_rows, target.tile_cols
@@ -63,27 +77,67 @@ def resample_spatial(cube: DataCube, target: LayoutDefinition) -> DataCube:
             rows = []
             for rec in pdf.itertuples(index=False):
                 c, r = int(rec.col), int(rec.row)
-                stack = decode_tile_float(list(rec.bands), ct, shape)
+                if bilinear:
+                    # padded (h+2, w+2) float64 planes from _pad_one_pixel
+                    pad_shape = (shape[0] + 2, shape[1] + 2)
+                    stack = np.stack(
+                        [
+                            np.frombuffer(buf, dtype=np.float64).reshape(pad_shape)
+                            for buf in rec.bands
+                        ]
+                    )
+                else:
+                    stack = decode_tile_float(list(rec.bands), ct, shape)
                 se = src.extent_for_key(c, r)
                 # target keys overlapped by this source tile (footprint
                 # forward-projected into the target CRS)
                 se_t = transform_extent(se, src.crs, target.crs)
                 for tc, tr in target.keys_for_extent(se_t):
                     xs, ys = target.pixel_centers_for_key(tc, tr)
-                    # nearest-neighbor: inverse-project the full grid of
-                    # target centers into the source CRS, then map to source
-                    # pixels — 2-D because UTM warps are not axis-separable
-                    # (identity/separable pairs broadcast through unchanged)
+                    # inverse-project the full grid of target centers into
+                    # the source CRS — 2-D because UTM warps are not
+                    # axis-separable (separable pairs broadcast unchanged)
                     XS, YS = np.meshgrid(xs, ys)
                     sx, sy = inv_pt(XS, YS)
                     px = np.floor((sx - se.xmin) / src.cell_width).astype(np.int64)
                     py = np.floor((se.ymax - sy) / src.cell_height).astype(np.int64)
+                    # OWNERSHIP is nearest-neighbor for both methods: exactly
+                    # one source tile claims each target pixel, so the merge
+                    # step never sees two fragments with different values
                     ok = (px >= 0) & (px < shape[1]) & (py >= 0) & (py < shape[0])
                     if not ok.any():
                         continue
                     frag = np.full((n_bands, th, tw), np.nan)
-                    for b in range(n_bands):
-                        frag[b][ok] = stack[b][py[ok], px[ok]]
+                    if bilinear:
+                        # fractional source-pixel coords relative to centers;
+                        # the +1 shift indexes into the halo-padded plane, so
+                        # owned pixels' 2x2 neighborhoods are always in range
+                        fx = (sx - se.xmin) / src.cell_width - 0.5
+                        fy = (se.ymax - sy) / src.cell_height - 0.5
+                        x0 = np.floor(fx).astype(np.int64)
+                        y0 = np.floor(fy).astype(np.int64)
+                        wx = fx - x0
+                        wy = fy - y0
+                        xi = np.clip(x0 + 1, 0, shape[1])
+                        yi = np.clip(y0 + 1, 0, shape[0])
+                        for b in range(n_bands):
+                            pl = stack[b]
+                            vs = (pl[yi, xi], pl[yi, xi + 1],
+                                  pl[yi + 1, xi], pl[yi + 1, xi + 1])
+                            ws = ((1 - wx) * (1 - wy), wx * (1 - wy),
+                                  (1 - wx) * wy, wx * wy)
+                            tot = np.zeros_like(wx)
+                            acc = np.zeros_like(wx)
+                            for v, w in zip(vs, ws):
+                                valid = ~np.isnan(v)
+                                tot += np.where(valid, w, 0.0)
+                                acc += np.where(valid, w * v, 0.0)
+                            with np.errstate(invalid="ignore"):
+                                val = np.where(tot > 0, acc / tot, np.nan)
+                            frag[b][ok] = val[ok]
+                    else:
+                        for b in range(n_bands):
+                            frag[b][ok] = stack[b][py[ok], px[ok]]
                     bands = [
                         encode_band(out_ct.from_float_nan(frag[b]), out_ct)
                         for b in range(n_bands)
@@ -95,7 +149,7 @@ def resample_spatial(cube: DataCube, target: LayoutDefinition) -> DataCube:
             cols = (["time"] if temporal else []) + ["col", "row", "bands"]
             yield pd.DataFrame(rows, columns=cols)
 
-    frags = cube.df.mapInPandas(fragments, schema=frag_schema)
+    frags = src_df.mapInPandas(fragments, schema=frag_schema)
 
     keys = (["time"] if temporal else []) + ["col", "row"]
 
@@ -103,7 +157,7 @@ def resample_spatial(cube: DataCube, target: LayoutDefinition) -> DataCube:
         th, tw = target.tile_rows, target.tile_cols
         acc = np.full((n_bands, th, tw), np.nan)
         for bufs in pdf["bands"]:
-            frag = decode_tile_float(list(bufs), ct, (th, tw))
+            frag = decode_tile_float(list(bufs), out_ct.name, (th, tw))
             acc = np.where(np.isnan(acc), frag, acc)
         bands = [
             encode_band(out_ct.from_float_nan(acc[b]), out_ct) for b in range(n_bands)
@@ -117,8 +171,63 @@ def resample_spatial(cube: DataCube, target: LayoutDefinition) -> DataCube:
         (F.col("col") >= 0) & (F.col("row") >= 0)
         & (F.col("col") < target.layout_cols) & (F.col("row") < target.layout_rows)
     )
-    meta = CubeMeta(target, ct, cube.meta.band_names, temporal)
+    meta = CubeMeta(target, out_ct.name, cube.meta.band_names, temporal)
     return DataCube(merged, meta)
+
+
+def _pad_one_pixel(cube: DataCube) -> "DataFrame":
+    """One-pixel halo exchange for bilinear warping: the kernel module's
+    9-way offset explode (one shuffle) assembles each tile's 8 neighbors and
+    crops a (h+2, w+2) float64 padded plane per band — so border pixels'
+    2x2 bilinear neighborhoods are always local (TileRDDReproject buffers
+    tiles the same way before resampling). Missing neighbors stay NaN
+    (layout edge -> weight renormalization)."""
+    from pyspark.sql import functions as F
+
+    ct = cube.meta.cell_type
+    n_bands = cube.meta.n_bands
+    h, w = cube.meta.tile_shape
+    keys = cube.key_cols
+    time_keys = [k for k in keys if k not in ("col", "row")]
+    offsets = F.expr(
+        "explode(array(" + ", ".join(
+            f"struct({dc} as dc, {dr} as dr)" for dr in (-1, 0, 1) for dc in (-1, 0, 1)
+        ) + "))"
+    )
+    exploded = cube.df.select(
+        *time_keys, "col", "row", "bands", offsets.alias("o")
+    ).select(
+        *time_keys,
+        (F.col("col") + F.col("o.dc")).alias("col"),
+        (F.col("row") + F.col("o.dr")).alias("row"),
+        (-F.col("o.dc")).alias("dc"),
+        (-F.col("o.dr")).alias("dr"),
+        "bands",
+    ).where(
+        (F.col("col") >= 0) & (F.col("row") >= 0)
+        & (F.col("col") < cube.meta.layout.layout_cols)
+        & (F.col("row") < cube.meta.layout.layout_rows)
+    )
+    out_schema = cube.df.schema
+
+    def pad_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        big = np.full((n_bands, 3 * h, 3 * w), np.nan)
+        center = False
+        for rec in pdf.itertuples(index=False):
+            dc, dr = int(rec.dc), int(rec.dr)
+            if dc == 0 and dr == 0:
+                center = True
+            stack = decode_tile_float(list(rec.bands), ct, (h, w))
+            big[:, (dr + 1) * h : (dr + 2) * h, (dc + 1) * w : (dc + 2) * w] = stack
+        if not center:
+            return pd.DataFrame(columns=list(out_schema.fieldNames()))
+        first = pdf.iloc[0]
+        padded = big[:, h - 1 : 2 * h + 1, w - 1 : 2 * w + 1]
+        bands = [padded[b].astype(np.float64).tobytes() for b in range(n_bands)]
+        row = [first[k] for k in time_keys] + [int(first["col"]), int(first["row"]), bands]
+        return pd.DataFrame([row], columns=time_keys + ["col", "row", "bands"])
+
+    return exploded.groupBy(*keys).applyInPandas(pad_group, schema=out_schema)
 
 
 def retile(cube: DataCube, tile_cols: int, tile_rows: int) -> DataCube:

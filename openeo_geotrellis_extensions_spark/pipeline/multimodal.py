@@ -170,6 +170,65 @@ def media_decode_features(media: DataFrame, nodata: int = 255) -> DataFrame:
     return media.mapInPandas(feats, schema=FEATURE_SCHEMA)
 
 
+def resize_image(
+    img: np.ndarray, factor: int = 2, nodata: int | None = 255
+) -> np.ndarray:
+    """Nodata-aware box downsample: (h, w) -> (h//factor, w//factor) float64
+    where each output pixel is the mean of its block's VALID input pixels
+    (NaN when the whole block is nodata). The standard training-pipeline
+    image-resize primitive, numpy-only."""
+    h, w = img.shape
+    if h % factor or w % factor:
+        raise ValueError(f"image {img.shape} not divisible by factor {factor}")
+    blocks = img.astype(np.float64).reshape(h // factor, factor, w // factor, factor)
+    if nodata is not None:
+        valid = blocks != float(nodata)
+        cnt = valid.sum(axis=(1, 3)).astype(np.float64)
+        ssum = np.where(valid, blocks, 0.0).sum(axis=(1, 3))
+        with np.errstate(invalid="ignore"):
+            return np.where(cnt > 0, ssum / cnt, np.nan)
+    return blocks.mean(axis=(1, 3))
+
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType()),
+        StructField("span_idx", IntegerType()),
+        StructField("by", IntegerType()),
+        StructField("bx", IntegerType()),
+        StructField("block_mean", DoubleType()),
+    ]
+)
+
+
+def media_resize(media: DataFrame, factor: int = 2, nodata: int = 255) -> DataFrame:
+    """Box-downsample every media image, emitting one row per OUTPUT pixel
+    (doc_id, span_idx, by, bx, block_mean). Per-block means are exact
+    rationals (sum of <= factor^2 uint8 ints / count), so a SQL oracle
+    reproduces every value bit-for-bit with no summation-order exposure.
+    Arrow-batched mapInPandas."""
+
+    def blocks(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for doc_id, si, content, w, h in zip(
+                pdf["doc_id"], pdf["span_idx"], pdf["content"],
+                pdf["width"], pdf["height"],
+            ):
+                img = np.frombuffer(content, dtype=np.uint8).reshape(int(h), int(w))
+                small = resize_image(img, factor=factor, nodata=nodata)
+                for by in range(small.shape[0]):
+                    for bx in range(small.shape[1]):
+                        v = small[by, bx]
+                        out.append(
+                            (doc_id, int(si), by, bx,
+                             None if np.isnan(v) else float(v))
+                        )
+            yield pd.DataFrame(out, columns=[f.name for f in RESIZE_SCHEMA.fields])
+
+    return media.mapInPandas(blocks, schema=RESIZE_SCHEMA)
+
+
 def sample_frames(content: bytes, every_n: int = 10) -> list[bytes]:
     """Seam for video frame sampling — ffmpeg unavailable here."""
     raise NotImplementedError("video codecs unavailable in this environment")

@@ -65,6 +65,40 @@ def windowed_event_stats(
 
 
 
+def stream_static_enriched_stats(
+    spark: SparkSession,
+    source_dir: str,
+    dim: DataFrame,
+    window: str = "1 day",
+    watermark: str = "2 days",
+) -> DataFrame:
+    """Stream-static enrichment join: the event stream joins a small static
+    dimension (broadcast — Spark re-plans the static side per micro-batch,
+    so at cluster scale the join never shuffles the stream) before the
+    event-time windowed aggregation. ``dim`` must carry (event_type, weight).
+    -> streaming DF (window_start, event_type, n, wsum)."""
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(source_dir)
+    )
+    enriched = stream.join(F.broadcast(dim), "event_type")
+    return (
+        enriched.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("value") * F.col("weight")), 4).alias("wsum"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd").alias("window_start"),
+            "event_type",
+            "n",
+            "wsum",
+        )
+    )
+
+
 def _await_drained(q, name: str, timeout_sec: int) -> None:
     """Wait until the availableNow query has processed ALL source data, then
     ensure it is stopped — never return a partially-populated memory table.

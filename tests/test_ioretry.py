@@ -190,3 +190,54 @@ def test_decode_image_png_and_media_decode(spark):
         ["doc_id", "span_idx"]).reset_index(drop=True)
     pd_testing = __import__("pandas").testing
     pd_testing.assert_frame_equal(plain, via_png)
+
+
+def test_resize_image_nodata_box():
+    from openeo_geotrellis_extensions_spark.pipeline.multimodal import resize_image
+
+    img = np.array(
+        [[10, 20, 255, 255],
+         [30, 40, 255, 255],
+         [255, 1, 2, 3],
+         [5, 7, 4, 255]], dtype=np.uint8)
+    out = resize_image(img, factor=2, nodata=255)
+    assert out.shape == (2, 2)
+    assert out[0, 0] == 25.0          # full block mean
+    assert np.isnan(out[0, 1])        # all-nodata block -> NaN
+    assert out[1, 0] == (1 + 5 + 7) / 3
+    assert out[1, 1] == 3.0
+    with pytest.raises(ValueError):
+        resize_image(img[:3], factor=2)
+
+
+def test_stream_static_enriched_stats(spark, tmp_path):
+    """Broadcast stream-static join + windowed agg equals batch SQL."""
+    import duckdb
+
+    from openeo_geotrellis_extensions_spark.streaming.events import (
+        run_stream_to_memory,
+        stream_static_enriched_stats,
+    )
+
+    d = tmp_path / "ev_join"
+    d.mkdir()
+    import shutil
+    shutil.copy("/root/testdata/sf0.01/events.parquet", d)
+    dim = spark.createDataFrame(
+        [("click", 2.0), ("view", 0.5)], ["event_type", "weight"]
+    )
+    out = run_stream_to_memory(
+        stream_static_enriched_stats(spark, str(d), dim), name="t_join"
+    ).toPandas()
+    want = duckdb.connect().execute(
+        "SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS window_start, "
+        "event_type, COUNT(*) AS n, "
+        "ROUND(SUM(value * CASE event_type WHEN 'click' THEN 2.0 ELSE 0.5 END), 4) AS wsum "
+        "FROM read_parquet('/root/testdata/sf0.01/events.parquet') "
+        "WHERE event_type IN ('click','view') GROUP BY 1, 2"
+    ).df()
+    o = out.sort_values(["window_start", "event_type"]).reset_index(drop=True)
+    w = want.sort_values(["window_start", "event_type"]).reset_index(drop=True)
+    assert len(o) == len(w)
+    assert (o["n"].astype(int).values == w["n"].astype(int).values).all()
+    assert np.allclose(o["wsum"].values, w["wsum"].values)

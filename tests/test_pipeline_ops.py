@@ -122,9 +122,14 @@ def test_media_pipeline_batch_shape(spark):
     assert media.count() == feats.count()
 
 
-def test_multimodal_stubs_raise():
-    with pytest.raises(NotImplementedError):
+def test_multimodal_codec_seams():
+    # PNG decode is REAL now (sinks/png.py stdlib decoder) — garbage input
+    # fails with a format error, not a missing-codec stub
+    with pytest.raises(ValueError, match="not a PNG"):
         decode_image(b"...", "png")
+    # JPEG/video stay honest stubs (no codec libs in this environment)
+    with pytest.raises(NotImplementedError):
+        decode_image(b"...", "jpeg")
     with pytest.raises(NotImplementedError):
         sample_frames(b"...")
 
