@@ -799,6 +799,42 @@ def _oracle_load_netcdf() -> str:
     return f"WITH {_digest_base_cte()} {_digest_tail(src)}"
 
 
+def _q_load_geotiff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed GeoTIFF source under the oracle gate: one date of the
+    arithmetic cube round-trips through the Deflate-striped GeoTIFF writer
+    and the SPLITTABLE reader (driver parses only the IFD; executors seek +
+    inflate exactly their strips — the windowed-COG-read shape of
+    FileLayerProvider). rows_per_strip=8 aligns strips to tile rows."""
+    import os
+    import tempfile
+
+    from openeo_geotrellis_extensions_spark.sinks.geotiff import (
+        load_geotiff,
+        save_stitched_geotiff,
+    )
+
+    cube = arithmetic_cube(spark, DIGEST_LAYOUT, n_bands=2, cell_type="float64")
+    path = os.path.join(tempfile.gettempdir(), "gt_digest_roundtrip.tif")
+    if not os.path.exists(path):
+        save_stitched_geotiff(cube, path, rows_per_strip=8)
+    return cube_digest(load_geotiff(spark, path, DIGEST_LAYOUT))
+
+
+def _oracle_load_geotiff() -> str:
+    # identity over the FIRST date (save_stitched_geotiff picks min(time)),
+    # both bands; non-temporal digest (no date column)
+    srcs = []
+    for b in range(2):
+        srcs.append(f"""
+        SELECT d.date, t.c, t.r, {b} AS band,
+               CASE WHEN {_NA.format(b=b)} THEN NULL
+                    ELSE CAST({_VA.format(b=b)} AS DOUBLE) END AS v
+        FROM dates d, tiles t, px, py
+        WHERE d.di = 0""")
+    src = " UNION ALL ".join(srcs)
+    return f"WITH {_digest_base_cte()} {_digest_tail(src, group_date=False)}"
+
+
 def _q_retile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """retile 8x8 -> 4x4 tiles (OpenEOProcesses.retile :1001-1047): same
     pixels, 4x the keys."""
@@ -2378,6 +2414,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resample_bilinear": _q_resample_bilinear,
         "resample_utm": _q_resample_utm,
         "load_netcdf": _q_load_netcdf,
+        "load_geotiff": _q_load_geotiff,
         "apply_kernel": _q_apply_kernel,
         "reduce_bands_ndvi": _q_reduce_bands_ndvi,
         "text_quality": _q_text_quality,
@@ -2435,6 +2472,7 @@ def oracle_sql() -> dict[str, str]:
         "resample_bilinear": _oracle_resample_bilinear(),
         "resample_utm": _oracle_resample_utm(),
         "load_netcdf": _oracle_load_netcdf(),
+        "load_geotiff": _oracle_load_geotiff(),
         "apply_kernel": _oracle_apply_kernel(),
         "reduce_bands_ndvi": _oracle_reduce_bands_ndvi(),
         "text_quality": _oracle_text_quality(),

@@ -173,10 +173,21 @@ def points_in_geometry(geom: Geometry, xs: np.ndarray, ys: np.ndarray) -> np.nda
             out |= (xs == gp[0]) & (ys == gp[1])
         return out
     for poly in geom.polygons:
+        # bbox gate: a point outside the outer ring's bounds can never be
+        # inside — also guards the ray cast against degenerate numerics
+        # (subnormal-coordinate sliver polygons under/overflow the crossing
+        # division and can otherwise misreport, hypothesis-found)
+        outer = np.asarray(poly[0], dtype=np.float64)
+        in_bb = (
+            (xs >= outer[:, 0].min()) & (xs <= outer[:, 0].max())
+            & (ys >= outer[:, 1].min()) & (ys <= outer[:, 1].max())
+        )
+        if not in_bb.any():
+            continue
         parity = np.zeros(xs.shape[0], dtype=bool)
         for ring in poly:
             parity ^= _crossings(xs, ys, ring)  # even-odd incl. holes
-        out |= parity
+        out |= parity & in_bb
     return out
 
 

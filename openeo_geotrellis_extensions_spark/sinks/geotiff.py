@@ -30,7 +30,7 @@ import pandas as pd
 
 from ..core.celltype import parse_cell_type
 from ..core.grid import Extent
-from ..core.tiles import decode_tile_float
+from ..core.tiles import decode_tile_float, encode_band
 from ..sources.datacube import DataCube
 
 _SAMPLE_FORMAT = {"u": 1, "i": 2, "f": 3}
@@ -224,10 +224,16 @@ def read_geotiff_levels(path: str) -> list[tuple[np.ndarray, Extent, float | Non
     return out
 
 
-def _read_ifd(
-    buf: bytes, ifd_off: int
-) -> tuple[tuple[np.ndarray, Extent, float | None], int]:
+def _parse_ifd_meta(buf: bytes, ifd_off: int) -> dict:
+    """Parse one IFD's METADATA (no strip payload access): returns w, h, nb,
+    dtype, compression, strip offsets/counts, rows_per_strip, extent, nodata,
+    and the next-IFD offset. Raises struct.error/IndexError when ``buf`` is a
+    too-short prefix (header-only readers grow and retry)."""
+    if ifd_off + 2 > len(buf):
+        raise IndexError("IFD beyond buffer")
     (n,) = struct.unpack_from("<H", buf, ifd_off)
+    if ifd_off + 2 + n * 12 + 4 > len(buf):
+        raise IndexError("IFD entries beyond buffer")
     tags = {}
     for i in range(n):
         tag, typ, cnt, raw = struct.unpack_from("<HHI4s", buf, ifd_off + 2 + i * 12)
@@ -238,7 +244,13 @@ def _read_ifd(
         typ, cnt, raw = tags[tag]
         size = {2: 1, 3: 2, 4: 4, 12: 8}[typ]
         total = size * cnt
-        data = raw[:total] if total <= 4 else buf[struct.unpack("<I", raw)[0]:][:total]
+        if total <= 4:
+            data = raw[:total]
+        else:
+            (pos,) = struct.unpack("<I", raw)
+            if pos + total > len(buf):
+                raise IndexError("out-of-line value beyond buffer")
+            data = buf[pos : pos + total]
         fmt = {2: "s", 3: "H", 4: "I", 12: "d"}[typ]
         if typ == 2:
             return data.rstrip(b"\x00").decode()
@@ -254,28 +266,81 @@ def _read_ifd(
     fmt = val(339)
     comp = val(259) if 259 in tags else 1
     kind = {1: "u", 2: "i", 3: "f"}[fmt]
-    dt = np.dtype(f"<{kind}{bits // 8}")
-    offs = vals(273)
-    counts = vals(279)
-    if comp == 8:
-        import zlib
-
-        raw = b"".join(
-            zlib.decompress(buf[o : o + c]) for o, c in zip(offs, counts)
-        )
-    elif comp == 1:
-        raw = b"".join(buf[o : o + c] for o, c in zip(offs, counts))
-    else:
-        raise ValueError(f"unsupported TIFF compression {comp}")
-    arr = np.frombuffer(raw, dtype=dt).reshape(h, w, nb)
     sx, sy = val(33550, 0), val(33550, 1)
     ox, oy = val(33922, 3), val(33922, 4)
-    extent = Extent(ox, oy - sy * h, ox + sx * w, oy)
     nodata = None
     if 42113 in tags:
         s = val(42113)
         nodata = float("nan") if s == "nan" else float(s)
-    return (np.transpose(arr, (2, 0, 1)), extent, nodata), next_ifd
+    return {
+        "w": w,
+        "h": h,
+        "nb": nb,
+        "dtype": np.dtype(f"<{kind}{bits // 8}"),
+        "comp": comp,
+        "offs": list(vals(273)),
+        "counts": list(vals(279)),
+        "rows_per_strip": val(278) if 278 in tags else h,
+        "extent": Extent(ox, oy - sy * h, ox + sx * w, oy),
+        "nodata": nodata,
+        "next_ifd": next_ifd,
+    }
+
+
+def read_geotiff_header(path: str, initial: int = 65536) -> dict:
+    """Level-0 IFD metadata WITHOUT reading strip payloads — the driver-side
+    half of a splittable read (strip offsets/counts let executors window-read
+    byte ranges independently). Grows the prefix until the header parses."""
+    size = initial
+    while True:
+        with open(path, "rb") as f:
+            buf = f.read(size)
+        if buf[:4] != b"II\x2a\x00":
+            raise ValueError("not a little-endian classic TIFF")
+        try:
+            (ifd_off,) = struct.unpack_from("<I", buf, 4)
+            return _parse_ifd_meta(buf, ifd_off)
+        except (struct.error, IndexError):
+            if len(buf) < size:
+                raise ValueError("truncated TIFF header") from None
+            size *= 4
+
+
+def read_geotiff_strip(path: str, meta: dict, strip: int) -> np.ndarray:
+    """Read ONE strip by its byte range (seek + read + per-strip inflate) ->
+    (rows, w, nb) array — the executor-side half of the splittable read."""
+    import zlib
+
+    with open(path, "rb") as f:
+        f.seek(meta["offs"][strip])
+        raw = f.read(meta["counts"][strip])
+    if meta["comp"] == 8:
+        raw = zlib.decompress(raw)
+    elif meta["comp"] != 1:
+        raise ValueError(f"unsupported TIFF compression {meta['comp']}")
+    rps = meta["rows_per_strip"]
+    rows = min(rps, meta["h"] - strip * rps)
+    return np.frombuffer(raw, dtype=meta["dtype"]).reshape(
+        rows, meta["w"], meta["nb"]
+    )
+
+
+def _read_ifd(
+    buf: bytes, ifd_off: int
+) -> tuple[tuple[np.ndarray, Extent, float | None], int]:
+    m = _parse_ifd_meta(buf, ifd_off)
+    if m["comp"] == 8:
+        import zlib
+
+        raw = b"".join(
+            zlib.decompress(buf[o : o + c]) for o, c in zip(m["offs"], m["counts"])
+        )
+    elif m["comp"] == 1:
+        raw = b"".join(buf[o : o + c] for o, c in zip(m["offs"], m["counts"]))
+    else:
+        raise ValueError(f"unsupported TIFF compression {m['comp']}")
+    arr = np.frombuffer(raw, dtype=m["dtype"]).reshape(m["h"], m["w"], m["nb"])
+    return (np.transpose(arr, (2, 0, 1)), m["extent"], m["nodata"]), m["next_ifd"]
 
 
 # ---------------------------------------------------------------------------
@@ -284,7 +349,8 @@ def _read_ifd(
 
 
 def save_stitched_geotiff(
-    cube: DataCube, path: str, date: str | None = None
+    cube: DataCube, path: str, date: str | None = None,
+    rows_per_strip: int = 256,
 ) -> str:
     """Collect one date's tiles, stitch the full raster, write ONE GeoTIFF —
     the reference's single-file save (geotiff/package.scala:347-422). For
@@ -309,7 +375,8 @@ def save_stitched_geotiff(
             r.col * ld.tile_cols : (r.col + 1) * ld.tile_cols,
         ] = stack
     out = np.stack([ct.from_float_nan(full[b]) for b in range(nb)])
-    write_geotiff(path, out, ld.extent, nodata=ct.nodata)
+    write_geotiff(path, out, ld.extent, nodata=ct.nodata,
+                  rows_per_strip=rows_per_strip)
     return path
 
 
@@ -417,3 +484,61 @@ def save_sample_geotiffs(cube: DataCube, features, out_dir: str) -> pd.DataFrame
         schema="feature_index int, date string, path string, n_tiles int",
     )
     return idx.toPandas()
+
+
+def load_geotiff(spark, path: str, layout) -> DataCube:
+    """GeoTIFF collection source, SPLITTABLE like the reference's windowed
+    COG reads (FileLayerProvider window-read seam): the driver parses ONLY
+    the level-0 IFD (read_geotiff_header — strip offsets/counts), then fans
+    out one task per tile-row; each executor seeks + inflates exactly the
+    strips overlapping its rows (read_geotiff_strip) and emits tiles.
+    Values come back float64 with the file's nodata as NaN (a non-temporal
+    cube). Requires a shared/POSIX view of ``path``."""
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from ..sources.datacube import CubeMeta, cube_schema
+
+    ld = layout
+    th, tw = ld.tile_rows, ld.tile_cols
+    meta = read_geotiff_header(path)
+    if meta["h"] != ld.layout_rows * th or meta["w"] != ld.layout_cols * tw:
+        raise ValueError("layout does not match GeoTIFF pixel grid")
+    nb = meta["nb"]
+    rps = meta["rows_per_strip"]
+    nodata = meta["nodata"]
+    layout_cols = ld.layout_cols
+    out_ct = parse_cell_type("float64")
+
+    def read_rows(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for task in pdf.itertuples(index=False):
+                r = int(task.r)
+                y0, y1 = r * th, (r + 1) * th
+                strips = range(y0 // rps, (y1 - 1) // rps + 1)
+                chunk = np.concatenate(
+                    [read_geotiff_strip(path, meta, s) for s in strips], axis=0
+                )
+                local0 = y0 - (y0 // rps) * rps
+                band_rows = chunk[local0 : local0 + th].astype(np.float64)
+                if nodata is not None and not np.isnan(nodata):
+                    band_rows = np.where(band_rows == nodata, np.nan, band_rows)
+                for c in range(layout_cols):
+                    tiles = [
+                        band_rows[:, c * tw : (c + 1) * tw, b] for b in range(nb)
+                    ]
+                    if all(np.isnan(t).all() for t in tiles):
+                        continue
+                    bands = [encode_band(out_ct.from_float_nan(t), out_ct) for t in tiles]
+                    rows.append((c, r, bands))
+            yield pd.DataFrame(rows, columns=["col", "row", "bands"])
+
+    tasks = spark.range(ld.layout_rows).select(
+        F.col("id").cast("int").alias("r")
+    ).repartition(min(64, ld.layout_rows))
+    df = tasks.mapInPandas(read_rows, schema=cube_schema(False))
+    names = tuple(f"b{i}" for i in range(nb))
+    return DataCube(df, CubeMeta(ld, "float64", names, temporal=False))

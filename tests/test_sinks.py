@@ -424,3 +424,44 @@ def test_netcdf_splittable_header_and_window(spark, tmp_path):
     plan = out.df._jdf.queryExecution().executedPlan().toString()
     assert "MapInPandas" in plan and "Range" in plan, plan
     assert "LocalTableScan" not in plan  # no driver-side materialization
+
+
+def test_geotiff_splittable_header_and_strips(spark, tmp_path):
+    """Splittable GeoTIFF read: header-only IFD parse exposes strip byte
+    ranges; per-strip reads concatenate to the full image; load_geotiff's
+    plan is a distributed mapInPandas over Range (no driver materialize)."""
+    from openeo_geotrellis_extensions_spark.sinks.geotiff import (
+        load_geotiff,
+        read_geotiff,
+        read_geotiff_header,
+        read_geotiff_strip,
+        save_stitched_geotiff,
+    )
+
+    cube = arithmetic_cube(spark, LAYOUT, n_bands=2, cell_type="float64")
+    p = str(tmp_path / "cube.tif")
+    save_stitched_geotiff(cube, p, rows_per_strip=8)
+
+    meta = read_geotiff_header(p)
+    assert meta["nb"] == 2 and meta["rows_per_strip"] == 8
+    assert len(meta["offs"]) == meta["h"] // 8
+    full, extent, nodata = read_geotiff(p)
+    got = np.concatenate(
+        [read_geotiff_strip(p, meta, s) for s in range(len(meta["offs"]))], axis=0
+    )
+    np.testing.assert_array_equal(np.transpose(got, (2, 0, 1)), full)
+
+    out = load_geotiff(spark, p, LAYOUT)
+    assert out.meta.temporal is False
+    plan = out.df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan and "Range" in plan and "LocalTableScan" not in plan
+    # pixel equality vs the in-memory reader (nodata -> NaN)
+    from openeo_geotrellis_extensions_spark.core.tiles import decode_tile_float
+    fullf = full.astype(np.float64)
+    for r in out.df.collect():
+        stack = decode_tile_float(list(r.bands), "float64", (8, 8))
+        for b in range(2):
+            want = fullf[b, r.row * 8 : (r.row + 1) * 8, r.col * 8 : (r.col + 1) * 8]
+            got_t = stack[b]
+            both = ~(np.isnan(want) & np.isnan(got_t))
+            np.testing.assert_array_equal(got_t[both], want[both])
