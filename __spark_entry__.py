@@ -1161,6 +1161,38 @@ _ORACLE_DEDUP_EXACT = r"""
 """
 
 
+def _q_substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style span dedup: repeated 8-word windows across docs,
+    merged into maximal per-doc spans (pipeline/dedup.py:substring_duplicate_spans)."""
+    from openeo_geotrellis_extensions_spark.pipeline.dedup import (
+        substring_duplicate_spans,
+    )
+
+    docs = spark.read.parquet(_DOCS.format(sf=sf_dir))
+    return substring_duplicate_spans(docs, n=8, min_docs=2)
+
+
+_ORACLE_SUBSTRING_DUP_SPANS = f"""
+    WITH {_WORDS_CTE},
+    pos8 AS (SELECT doc_id, words,
+                    unnest(range(1, greatest(len(words) - 6, 1))) AS i
+             FROM w),
+    g8 AS (SELECT doc_id, i - 1 AS pos,
+                  md5(array_to_string(words[i:i+7], ' ')) AS h
+           FROM pos8),
+    dfreq AS (SELECT h, COUNT(DISTINCT doc_id) AS n_docs FROM g8 GROUP BY h),
+    flagged AS (SELECT g.doc_id, g.pos, d.n_docs
+                FROM g8 g JOIN dfreq d USING (h) WHERE d.n_docs >= 2),
+    isl AS (SELECT doc_id, pos, n_docs,
+                   pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos)
+                     AS island
+            FROM flagged)
+    SELECT doc_id AS id, MIN(pos) AS start_word, MAX(pos) + 7 AS end_word,
+           COUNT(*) AS n_windows, MAX(n_docs) AS max_doc_freq
+    FROM isl GROUP BY doc_id, island
+"""
+
+
 def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(_DOCS.format(sf=sf_dir))
     return ngram_jaccard_pairs(docs, threshold=0.05).select(
@@ -2422,6 +2454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _q_stratified_sample,
         "repetition_quality": _q_repetition_quality,
         "dedup_exact": _q_dedup_exact,
+        "substring_dup_spans": _q_substring_dup_spans,
         "ngram_jaccard": _q_ngram_jaccard,
         "ngram_jaccard_capped": _q_ngram_jaccard_capped,
         "minhash_lsh": _q_minhash_lsh,
@@ -2480,6 +2513,7 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": _oracle_stratified_sample(),
         "repetition_quality": _ORACLE_REPETITION,
         "dedup_exact": _ORACLE_DEDUP_EXACT,
+        "substring_dup_spans": _ORACLE_SUBSTRING_DUP_SPANS,
         "ngram_jaccard": _ORACLE_NGRAM_JACCARD,
         "ngram_jaccard_capped": _ORACLE_NGRAM_JACCARD_CAPPED,
         "minhash_lsh": _oracle_minhash_lsh(),

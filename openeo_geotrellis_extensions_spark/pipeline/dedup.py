@@ -288,6 +288,51 @@ def simhash_signatures(
     return agg.select("id", sim.cast("long").alias("simhash"))
 
 
+def substring_duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Span-level EXACT-substring dedup (the ExactSubstr shape of
+    "Deduplicating Training Data Makes Language Models Better", Lee et al.
+    2022, re-expressed over word windows instead of a distributed suffix
+    array): every ``n``-word window is hashed; windows whose hash occurs in
+    >= ``min_docs`` DISTINCT documents are flagged, and maximal runs of
+    consecutive flagged windows per document merge (gaps-and-islands) into
+    spans -> (id, start_word, end_word inclusive, n_windows, max_doc_freq).
+
+    100 TB shape: one shuffle on the 128-bit window hash for document
+    frequency (map-side combinable), one equi-join back on the hash, one
+    per-document window for island merging (bounded by doc length). Unlike
+    pairwise n-gram Jaccard there is NO quadratic hot bucket — a boilerplate
+    window shared by 10^6 docs contributes exactly one dfreq row and one
+    join match per occurrence. Within-doc repeats (n_docs == 1) are NOT
+    flagged; self-repetition is the repetition-quality filter's job
+    (pipeline/text.py)."""
+    grams = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.posexplode(F.expr(ngram_expr(text_col, n))).alias("pos", "g"),
+    ).select("id", "pos", F.md5("g").alias("h"))
+    dfreq = grams.groupBy("h").agg(F.countDistinct("id").alias("n_docs"))
+    flagged = grams.join(
+        dfreq.where(F.col("n_docs") >= min_docs), "h", "inner"
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    isl = flagged.withColumn("island", F.col("pos") - F.row_number().over(w))
+    return (
+        isl.groupBy("id", "island")
+        .agg(
+            F.min("pos").alias("start_word"),
+            (F.max("pos") + F.lit(n - 1)).alias("end_word"),
+            F.count("*").alias("n_windows"),
+            F.max("n_docs").alias("max_doc_freq"),
+        )
+        .drop("island")
+    )
+
+
 def connected_components(
     pairs: DataFrame, max_iters: int = 20
 ) -> DataFrame:

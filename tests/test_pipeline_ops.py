@@ -305,3 +305,33 @@ def test_lsh_params_scale_with_corpus():
     for n in (10**4, 10**8, 10**12):
         p = lsh_params_for(n)
         assert n / (2 ** p["bits"]) <= 2 * 1000
+
+
+def test_substring_duplicate_spans_semantics(spark):
+    """ExactSubstr span dedup: a 10-word block shared by two docs yields one
+    maximal span in each (3 consecutive 8-word windows merged); a block
+    repeated only WITHIN one doc is not flagged; short docs are ignored."""
+    from openeo_geotrellis_extensions_spark.pipeline.dedup import (
+        substring_duplicate_spans,
+    )
+
+    shared = "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9"  # 10 words
+    rows = [
+        (1, f"alpha beta {shared} gamma"),            # span at words 2..11
+        (2, f"{shared} tail1 tail2 tail3"),           # span at words 0..9
+        (3, "self self self self self self self self self self self self"),
+        (4, "too short"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = substring_duplicate_spans(df, n=8, min_docs=2)
+    got = {
+        (r.id, r.start_word, r.end_word, r.n_windows, r.max_doc_freq)
+        for r in out.collect()
+    }
+    # doc 3's self-repeating windows ARE identical across positions but only
+    # 1 distinct doc -> not flagged (within-doc repetition is text.py's job)
+    assert got == {(1, 2, 11, 3, 2), (2, 0, 9, 3, 2)}
+
+    # plan: no cartesian anywhere; dfreq join is an equi-join on the hash
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
