@@ -2356,6 +2356,66 @@ _ORACLE_STREAM_JOIN = """
 """
 
 
+def _q_stream_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Headline spatial join under Structured Streaming: event-id-derived
+    point stream -> broadcast cell-cover join + stateless PIP mapInPandas ->
+    watermarked daily windowed count/sum per containing feature."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from openeo_geotrellis_extensions_spark.streaming.events import (
+        run_stream_to_memory,
+        stream_spatial_join_stats,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    src = os.path.join(tempfile.gettempdir(), f"ev_stream_{tag}")
+    if not os.path.exists(os.path.join(src, "events.parquet")):
+        os.makedirs(src, exist_ok=True)
+        shutil.copy(f"{sf_dir}/events.parquet", src)
+    feats = _features_df(spark, RECT_FEATURES)
+    stream = stream_spatial_join_stats(
+        spark, src, feats, res=7, window="1 day", watermark="2 days"
+    )
+    out = run_stream_to_memory(
+        stream, name=f"q_stream_sj_{uuid.uuid4().hex[:8]}"
+    )
+    return out.select(
+        "window_start",
+        F.col("feature_index").cast("int").alias("feature_index"),
+        F.col("n").cast("long").alias("n"),
+        "sum_value",
+    )
+
+
+def _oracle_stream_spatial_join() -> str:
+    feats = " UNION ALL ".join(
+        f"SELECT {fi} AS feature_index, CAST({x0} AS DOUBLE) AS x0, "
+        f"CAST({y0} AS DOUBLE) AS y0, CAST({x1} AS DOUBLE) AS x1, "
+        f"CAST({y1} AS DOUBLE) AS y1"
+        for fi, x0, y0, x1, y1 in RECT_FEATURES
+    )
+    return f"""
+        WITH pts AS (
+            SELECT ts, value,
+                   (event_id * 7919) % 36000 / 100.0 - 180.0 AS x,
+                   (event_id * 104729) % 18000 / 100.0 - 90.0 AS y
+            FROM events
+        ),
+        feats AS ({feats})
+        SELECT strftime(date_trunc('day', p.ts), '%Y-%m-%d') AS window_start,
+               f.feature_index,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(SUM(p.value), 4) AS sum_value
+        FROM pts p JOIN feats f
+          ON p.x > f.x0 AND p.x < f.x1 AND p.y > f.y0 AND p.y < f.y1
+        GROUP BY 1, 2
+    """
+
+
 _ORACLE_STREAM_WINDOWED = """
     SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS window_start,
            event_type,
@@ -2481,6 +2541,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_groups": _q_dedup_groups,
         "stream_windowed": _q_stream_windowed,
         "stream_join": _q_stream_join,
+        "stream_spatial_join": _q_stream_spatial_join,
         "stream_dedup_stateful": _q_stream_dedup,
     }
 
@@ -2540,5 +2601,6 @@ def oracle_sql() -> dict[str, str]:
         "dedup_groups": _oracle_dedup_groups(),
         "stream_windowed": _ORACLE_STREAM_WINDOWED,
         "stream_join": _ORACLE_STREAM_JOIN,
+        "stream_spatial_join": _oracle_stream_spatial_join(),
         "stream_dedup_stateful": _ORACLE_STREAM_DEDUP,
     }

@@ -99,6 +99,55 @@ def stream_static_enriched_stats(
     )
 
 
+def stream_spatial_join_stats(
+    spark: SparkSession,
+    source_dir: str,
+    features: DataFrame,
+    res: int = 7,
+    window: str = "1 day",
+    watermark: str = "2 days",
+) -> DataFrame:
+    """The engine's headline operator under Structured Streaming: a point
+    stream cell-joins the STATIC feature cover (broadcast per micro-batch —
+    the stream side never shuffles for the join) and PIP-refines through the
+    same stateless Arrow ``mapInPandas`` used in batch, then a watermarked
+    event-time windowed aggregation per containing feature.
+
+    Points: x/y are derived arithmetically from ``event_id`` (exact integer
+    ops, engine-portable so a batch SQL oracle can mirror them). At scale the
+    per-micro-batch work is identical to the batch plan — cover derivation is
+    O(features) and re-broadcast per batch; only the agg keeps state.
+    -> streaming DF (window_start, feature_index, n, sum_value)."""
+    from ..operators.spatial_join import spatial_join_points
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(source_dir)
+    )
+    pts = stream.select(
+        "ts",
+        "value",
+        ((F.col("event_id") * 7919 % 36000) / 100.0 - 180.0).alias("rep_x"),
+        ((F.col("event_id") * 104729 % 18000) / 100.0 - 90.0).alias("rep_y"),
+    )
+    joined = spatial_join_points(pts, features, res=res)
+    return (
+        joined.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "feature_index")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd").alias("window_start"),
+            "feature_index",
+            "n",
+            "sum_value",
+        )
+    )
+
+
 def _await_drained(q, name: str, timeout_sec: int) -> None:
     """Wait until the availableNow query has processed ALL source data, then
     ensure it is stopped — never return a partially-populated memory table.

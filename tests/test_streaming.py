@@ -99,3 +99,51 @@ def test_streaming_dedup_with_state_ttl(spark, tmp_path):
         "FROM read_parquet('/root/testdata/sf0.01/events.parquet')"
     ).fetchone()[0]
     assert len(out) == n_hashes
+
+
+def test_stream_spatial_join_matches_batch(spark, tmp_path):
+    """The headline spatial join under streaming == the same join in batch:
+    broadcast cover join + stateless PIP mapInPandas inside micro-batches,
+    watermarked windowed agg on top."""
+    import shutil as _shutil
+
+    from openeo_geotrellis_extensions_spark.operators.spatial_join import (
+        spatial_join_points,
+    )
+    from openeo_geotrellis_extensions_spark.streaming.events import (
+        stream_spatial_join_stats,
+    )
+
+    src = str(tmp_path / "events_stream_sj")
+    _shutil.copytree(SF, src, ignore=_shutil.ignore_patterns("[!e]*"))
+    feats = spark.createDataFrame(
+        [
+            (0, '{"type":"Polygon","coordinates":[[[-50.00005,-30.00005],'
+                '[30.00005,-30.00005],[30.00005,40.00005],[-50.00005,40.00005],'
+                '[-50.00005,-30.00005]]]}'),
+        ],
+        "feature_index int, geojson string",
+    )
+    stream = stream_spatial_join_stats(spark, src, feats, res=7)
+    got = run_stream_to_memory(stream, name="t_stream_sj").collect()
+    assert len(got) > 0
+
+    pts = spark.read.parquet(f"{SF}/events.parquet").select(
+        "ts", "value",
+        ((F.col("event_id") * 7919 % 36000) / 100.0 - 180.0).alias("rep_x"),
+        ((F.col("event_id") * 104729 % 18000) / 100.0 - 90.0).alias("rep_y"),
+    )
+    batch = (
+        spatial_join_points(pts, feats, res=7)
+        .groupBy(
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias(
+                "window_start"
+            ),
+            "feature_index",
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .collect()
+    )
+    a = {(r.window_start, r.feature_index): (r.n, r.sum_value) for r in got}
+    b = {(r.window_start, r.feature_index): (r.n, r.sum_value) for r in batch}
+    assert a == b
