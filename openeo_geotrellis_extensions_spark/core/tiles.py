@@ -72,6 +72,41 @@ def decode_tile(
     return np.stack([decode_band(b, cell_type, shape) for b in bufs])
 
 
+def decode_tiles_batch_float(
+    band_lists, cell_type: CellType | str, shape: tuple[int, int], n_bands: int
+) -> np.ndarray:
+    """Decode a WHOLE Arrow batch of tile rows in one numpy pass ->
+    (n_rows, n_bands, h, w) float64 with nodata -> NaN. Empty-band markers
+    ('' / None) decode to all-NaN (or 0 for no-nodata cell types).
+
+    This is the hot-loop replacement for per-row decode_tile_float: one
+    ``b"".join`` + one ``frombuffer`` + one vectorized nodata mask over the
+    entire batch instead of n_rows x n_bands small-array round trips."""
+    if isinstance(cell_type, str):
+        cell_type = parse_cell_type(cell_type)
+    n = len(band_lists)
+    nbytes = shape[0] * shape[1] * cell_type.dtype.itemsize
+    zero = bytes(nbytes)
+    flat: list[bytes] = []
+    empties: list[tuple[int, int]] = []
+    for i, bl in enumerate(band_lists):
+        for b in range(n_bands):
+            buf = bl[b] if bl is not None and b < len(bl) else None
+            if is_empty_band(buf):
+                empties.append((i, b))
+                flat.append(zero)
+            else:
+                flat.append(buf)
+    arr = np.frombuffer(b"".join(flat), dtype=cell_type.dtype).reshape(
+        n, n_bands, *shape
+    )
+    out = cell_type.to_float_nan(arr)
+    fill = np.nan if cell_type.has_nodata else 0.0
+    for i, b in empties:
+        out[i, b] = fill
+    return out
+
+
 def decode_tile_float(
     bufs: list[bytes | None], cell_type: CellType | str, shape: tuple[int, int]
 ) -> np.ndarray:

@@ -200,65 +200,80 @@ def aggregate_spatial(
         F.broadcast(features), "feature_index", "inner"
     )
 
-    from ..core.tiles import decode_tile_float
+    from ..core.tiles import decode_tiles_batch_float
 
     def partials(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         geom_cache: dict[int, object] = {}
         mask_cache: dict[tuple, np.ndarray] = {}
+        px_area = shape[0] * shape[1]
         for pdf in it:
-            rows = []
-            for t, c, r, bands, fi, contained, gj in zip(
-                pdf["time"], pdf["col"], pdf["row"], pdf["bands"],
-                pdf["feature_index"], pdf["contained"], pdf["geojson"],
-            ):
-                c, r, fi = int(c), int(r), int(fi)
+            nrow = len(pdf)
+            if nrow == 0:
+                continue
+            # one decode pass for the whole batch: (n, nb, h, w) with NaN
+            cube_vals = decode_tiles_batch_float(
+                pdf["bands"].tolist(), ct_name, shape, n_bands
+            )
+            contained = pdf["contained"].to_numpy(dtype=bool)
+            cols_a = pdf["col"].to_numpy()
+            rows_a = pdf["row"].to_numpy()
+            fis_a = pdf["feature_index"].to_numpy()
+            # interior ('contained') rows keep the implicit all-ones mask;
+            # only boundary rows rasterize their geometry
+            masks = np.ones((nrow, *shape), dtype=bool)
+            totals = np.full(nrow, px_area, dtype=np.int64)
+            for i in np.nonzero(~contained)[0]:
+                c, r, fi = int(cols_a[i]), int(rows_a[i]), int(fis_a[i])
                 mkey = (fi, c, r)
                 mask = mask_cache.get(mkey)
                 if mask is None:
-                    if contained:
-                        mask = np.ones(shape, dtype=bool)
+                    g = geom_cache.get(fi)
+                    if g is None:
+                        g = parse_geometry(pdf["geojson"].iloc[i])
+                        geom_cache[fi] = g
+                    xs, ys = layout.pixel_centers_for_key(c, r)
+                    if g.kind in ("Point", "MultiPoint"):
+                        mask = np.zeros(shape, dtype=bool)
+                        for px_, py_ in g.points:
+                            pc, pr = layout.key_for_point(px_, py_)
+                            if (pc, pr) == (c, r):
+                                ix = int((px_ - xs[0] + layout.cell_width / 2) // layout.cell_width)
+                                iy = int((ys[0] - py_ + layout.cell_height / 2) // layout.cell_height)
+                                if 0 <= iy < shape[0] and 0 <= ix < shape[1]:
+                                    mask[iy, ix] = True
                     else:
-                        g = geom_cache.get(fi)
-                        if g is None:
-                            g = parse_geometry(gj)
-                            geom_cache[fi] = g
-                        xs, ys = layout.pixel_centers_for_key(c, r)
-                        if g.kind in ("Point", "MultiPoint"):
-                            mask = np.zeros(shape, dtype=bool)
-                            for px_, py_ in g.points:
-                                pc, pr = layout.key_for_point(px_, py_)
-                                if (pc, pr) == (c, r):
-                                    ix = int((px_ - xs[0] + layout.cell_width / 2) // layout.cell_width)
-                                    iy = int((ys[0] - py_ + layout.cell_height / 2) // layout.cell_height)
-                                    if 0 <= iy < shape[0] and 0 <= ix < shape[1]:
-                                        mask[iy, ix] = True
-                        else:
-                            gx, gy = np.meshgrid(xs, ys)
-                            mask = points_in_geometry(
-                                g, gx.ravel(), gy.ravel()
-                            ).reshape(shape)
+                        gx, gy = np.meshgrid(xs, ys)
+                        mask = points_in_geometry(
+                            g, gx.ravel(), gy.ravel()
+                        ).reshape(shape)
                     mask_cache[mkey] = mask
-                total = int(mask.sum())
-                if total == 0:
-                    continue
-                stack = decode_tile_float(list(bands), ct_name, shape)
-                for b in range(n_bands):
-                    vals = stack[b][mask]
-                    vals = vals[~np.isnan(vals)]
-                    cnt = vals.size
-                    if cnt == 0:
-                        # no valid pixels: emit nothing — NaN partials would
-                        # poison group min/max; dense restore fills the row
-                        continue
-                    rows.append(
-                        (t, fi, b, int(cnt), total, float(vals.sum()),
-                         float(vals.min()), float(vals.max()),
-                         float((vals.astype(np.float64) ** 2).sum()))
-                    )
+                masks[i] = mask
+                totals[i] = int(mask.sum())
+            # vectorized per-(row, band) stats over the masked batch
+            masked = np.where(masks[:, None, :, :], cube_vals, np.nan)
+            valid = ~np.isnan(masked)
+            cnt = valid.sum(axis=(2, 3))                       # (n, nb)
+            zeroed = np.where(valid, masked, 0.0)
+            sm = zeroed.sum(axis=(2, 3))
+            ssq = (zeroed * zeroed).sum(axis=(2, 3))
+            mn = np.min(np.where(valid, masked, np.inf), axis=(2, 3))
+            mx = np.max(np.where(valid, masked, -np.inf), axis=(2, 3))
+            # emit only (row, band) cells with >=1 valid pixel in a non-empty
+            # zone — NaN partials would poison group min/max; dense restore
+            # fills the missing rows downstream
+            ri, bi = np.nonzero((cnt > 0) & (totals[:, None] > 0))
             yield pd.DataFrame(
-                rows,
-                columns=["time", "feature_index", "band", "cnt", "total",
-                         "sm", "mn", "mx", "ssq"],
+                {
+                    "time": pdf["time"].to_numpy()[ri],
+                    "feature_index": fis_a[ri],
+                    "band": bi.astype(np.int32),
+                    "cnt": cnt[ri, bi].astype(np.int64),
+                    "total": totals[ri],
+                    "sm": sm[ri, bi],
+                    "mn": mn[ri, bi],
+                    "mx": mx[ri, bi],
+                    "ssq": ssq[ri, bi],
+                }
             )
 
     part = joined.mapInPandas(partials, schema=_PARTIAL_SCHEMA)
