@@ -242,8 +242,11 @@ def media_cube(docs: DataFrame, tile_size: int = 16) -> DataCube:
     ).withColumn(
         "d", F.array_position(dates_arr, F.col("date")).cast("int") - 1
     )
+    # per-band presence as two boolean MAX aggregates — map-side combinable
+    # scalars instead of a collect_set array per key
     keys = parsed.groupBy("date", "d", "col", "row").agg(
-        F.collect_set("band").alias("present_bands")
+        F.max(F.col("band") == 0).alias("has_b0"),
+        F.max(F.col("band") == 1).alias("has_b1"),
     )
     schema = cube_schema(temporal=True)
 
@@ -266,11 +269,12 @@ def media_cube(docs: DataFrame, tile_size: int = 16) -> DataCube:
                 t = v.astype(np.uint8)
                 t[nodata] = 255
                 tiles_by_band.append(t)
-            for i, (date, present) in enumerate(zip(pdf["date"], pdf["present_bands"])):
-                pres = set(int(b) for b in present)
+            for i, (date, h0, h1) in enumerate(
+                zip(pdf["date"], pdf["has_b0"], pdf["has_b1"])
+            ):
                 bands = [
-                    tiles_by_band[b][i].tobytes() if b in pres else b""
-                    for b in (0, 1)
+                    tiles_by_band[0][i].tobytes() if h0 else b"",
+                    tiles_by_band[1][i].tobytes() if h1 else b"",
                 ]
                 out.append(
                     (pd.Timestamp(date), int(pdf["col"].iloc[i]), int(pdf["row"].iloc[i]), bands)
