@@ -1562,6 +1562,35 @@ def _q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_media_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real baseline JPEG codec in-graph (sinks/jpeg.py): every media tile
+    encode->decode round-trips through the repo's own numpy huffman+DCT
+    implementation; the oracle pins dims equality + the PSNR gate."""
+    from openeo_geotrellis_extensions_spark.pipeline.multimodal import (
+        media_decode_jpeg_features,
+    )
+
+    docs = synth_docs(spark, _n_docs(spark, sf_dir))
+    return media_decode_jpeg_features(fetch_media(docs), min_psnr=30.0)
+
+
+def _oracle_media_decode_jpeg() -> str:
+    a = doc_attr_sql("id")
+    return f"""
+        WITH ids AS (SELECT doc_id AS id FROM documents),
+        media AS (
+            SELECT id, CAST(j AS INT) AS span_idx
+            FROM ids, generate_series(0, 4) t(j)
+            WHERE j < 2 + (id % 4) AND (id + j) % 3 >= 2
+        )
+        SELECT printf('doc_%08d', id) AS doc_id, span_idx,
+               CAST(16 AS INT) AS width, CAST(16 AS INT) AS height,
+               CAST(16 AS INT) AS dec_width, CAST(16 AS INT) AS dec_height,
+               TRUE AS psnr_ok
+        FROM media
+    """
+
+
 def _q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nodata-aware box downsample (the training-pipeline image-resize
     primitive): one row per output pixel; block means are exact rationals,
@@ -2524,6 +2553,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_knn": _q_geo_knn,
         "media_features": _q_media_features,
         "media_decode": _q_media_decode,
+        "media_decode_jpeg": _q_media_decode_jpeg,
         "media_resize": _q_media_resize,
         "lsh_ann": _q_lsh_ann,
         "ivf_ann": _q_ivf_ann,
@@ -2584,6 +2614,7 @@ def oracle_sql() -> dict[str, str]:
         "geo_knn": _oracle_geo_knn(),
         "media_features": _oracle_media_features(),
         "media_decode": _oracle_media_features(),
+        "media_decode_jpeg": _oracle_media_decode_jpeg(),
         "media_resize": _oracle_media_resize(),
         "lsh_ann": _oracle_lsh_ann(),
         "catboost_predict": _oracle_catboost_predict(),

@@ -119,15 +119,21 @@ def media_features(media: DataFrame, nodata: int = 255) -> DataFrame:
 
 def decode_image(content: bytes, fmt: str) -> np.ndarray:
     """Image decode seam. PNG is REAL (the repo's own stdlib zlib decoder,
-    full scanline unfiltering — sinks/png.py); JPEG/TIFF-with-codecs stay
-    honestly stubbed (no PIL/rasterio in this environment)."""
-    if fmt.lower() == "png":
+    full scanline unfiltering — sinks/png.py) and so is baseline JPEG (the
+    repo's own numpy huffman+DCT codec — sinks/jpeg.py); video/TIFF-with-
+    codecs stay honestly stubbed (no ffmpeg/rasterio in this environment)."""
+    f = fmt.lower()
+    if f == "png":
         from ..sinks.png import decode_png_bytes
 
         return decode_png_bytes(content)
+    if f in ("jpeg", "jpg"):
+        from ..sinks.jpeg import decode_jpeg
+
+        return decode_jpeg(content)
     raise NotImplementedError(
         f"image codec {fmt!r} unavailable in this environment; "
-        "png decodes natively, tile:// media resolve via fetch_media"
+        "png/jpeg decode natively, tile:// media resolve via fetch_media"
     )
 
 
@@ -168,6 +174,46 @@ def media_decode_features(media: DataFrame, nodata: int = 255) -> DataFrame:
                 )
 
     return media.mapInPandas(feats, schema=FEATURE_SCHEMA)
+
+
+def media_decode_jpeg_features(media: DataFrame, min_psnr: float = 30.0) -> DataFrame:
+    """Pixel grids round-trip through the repo's own baseline JPEG codec
+    (sinks/jpeg.py — numpy huffman + DCT, lossy). Emits the decoded
+    dimensions plus a PSNR gate per media row. JPEG reconstruction error is
+    not SQL-expressible, so the driver oracle checks the exactly-reproducible
+    columns (dims equality, ``psnr_ok`` TRUE): a codec break flips ``dec_*``
+    or ``psnr_ok`` and fails the value hash."""
+    import math
+
+    cols = ["doc_id", "span_idx", "width", "height",
+            "dec_width", "dec_height", "psnr_ok"]
+
+    def rt(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..sinks.jpeg import decode_jpeg, encode_jpeg
+
+        for pdf in it:
+            rows = []
+            for doc_id, si, content, w, h in zip(
+                pdf["doc_id"], pdf["span_idx"], pdf["content"],
+                pdf["width"], pdf["height"],
+            ):
+                img = np.frombuffer(content, np.uint8).reshape(int(h), int(w))
+                dec = decode_jpeg(encode_jpeg(img, quality=90))
+                mse = float(
+                    np.mean((img.astype(np.float64) - dec.astype(np.float64)) ** 2)
+                )
+                psnr = math.inf if mse == 0 else 10 * math.log10(255.0 ** 2 / mse)
+                rows.append(
+                    (doc_id, int(si), int(w), int(h),
+                     int(dec.shape[1]), int(dec.shape[0]), psnr >= min_psnr)
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.mapInPandas(
+        rt,
+        schema="doc_id string, span_idx int, width int, height int, "
+               "dec_width int, dec_height int, psnr_ok boolean",
+    )
 
 
 def resize_image(

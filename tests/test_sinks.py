@@ -465,3 +465,92 @@ def test_geotiff_splittable_header_and_strips(spark, tmp_path):
             got_t = stack[b]
             both = ~(np.isnan(want) & np.isnan(got_t))
             np.testing.assert_array_equal(got_t[both], want[both])
+
+
+class TestJpegCodec:
+    """From-scratch baseline JPEG (sinks/jpeg.py): round-trip PSNR floors,
+    odd sizes, grayscale + RGB, restart-marker decode, error paths."""
+
+    @staticmethod
+    def _psnr(a, b):
+        mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+        return float("inf") if mse == 0 else 10 * np.log10(255.0 ** 2 / mse)
+
+    def test_roundtrip_gray_psnr(self):
+        from openeo_geotrellis_extensions_spark.sinks.jpeg import (
+            decode_jpeg,
+            encode_jpeg,
+        )
+
+        img = (np.add.outer(np.arange(16), np.arange(16)) * 8).astype(np.uint8)
+        dec = decode_jpeg(encode_jpeg(img, quality=90))
+        assert dec.shape == img.shape and dec.dtype == np.uint8
+        assert self._psnr(img, dec) >= 35
+
+    def test_roundtrip_rgb_odd_dims(self):
+        from openeo_geotrellis_extensions_spark.sinks.jpeg import (
+            decode_jpeg,
+            encode_jpeg,
+        )
+
+        img = np.zeros((24, 17, 3), np.uint8)
+        img[..., 0] = np.linspace(0, 255, 24)[:, None]
+        img[..., 1] = np.linspace(0, 255, 17)[None, :]
+        img[..., 2] = 128
+        dec = decode_jpeg(encode_jpeg(img, quality=90))
+        assert dec.shape == img.shape
+        assert self._psnr(img, dec) >= 30
+
+    def test_roundtrip_noise_high_quality(self):
+        from openeo_geotrellis_extensions_spark.sinks.jpeg import (
+            decode_jpeg,
+            encode_jpeg,
+        )
+
+        rng = np.random.default_rng(7)
+        img = rng.integers(0, 256, (32, 32), dtype=np.uint8).astype(np.uint8)
+        assert self._psnr(img, decode_jpeg(encode_jpeg(img, quality=95))) >= 35
+
+    def test_flat_image_exact(self):
+        from openeo_geotrellis_extensions_spark.sinks.jpeg import (
+            decode_jpeg,
+            encode_jpeg,
+        )
+
+        img = np.full((8, 8), 200, np.uint8)
+        np.testing.assert_array_equal(decode_jpeg(encode_jpeg(img, 90)), img)
+
+    def test_quality_monotonic(self):
+        from openeo_geotrellis_extensions_spark.sinks.jpeg import (
+            decode_jpeg,
+            encode_jpeg,
+        )
+
+        rng = np.random.default_rng(3)
+        img = rng.integers(0, 256, (24, 24), dtype=np.uint8).astype(np.uint8)
+        p_lo = self._psnr(img, decode_jpeg(encode_jpeg(img, 30)))
+        p_hi = self._psnr(img, decode_jpeg(encode_jpeg(img, 95)))
+        assert p_hi > p_lo
+        assert len(encode_jpeg(img, 30)) < len(encode_jpeg(img, 95))
+
+    def test_rejects_non_jpeg_and_progressive(self):
+        import pytest as _pytest
+
+        from openeo_geotrellis_extensions_spark.sinks.jpeg import decode_jpeg
+
+        with _pytest.raises(ValueError):
+            decode_jpeg(b"\x89PNG not a jpeg")
+        # synthesize SOI + SOF2 (progressive) header
+        bad = b"\xff\xd8" + b"\xff\xc2" + b"\x00\x0b" + b"\x08\x00\x10\x00\x10\x01\x01\x11\x00"
+        with _pytest.raises(ValueError, match="baseline"):
+            decode_jpeg(bad)
+
+    def test_decode_seam_dispatch(self):
+        from openeo_geotrellis_extensions_spark.pipeline.multimodal import (
+            decode_image,
+        )
+        from openeo_geotrellis_extensions_spark.sinks.jpeg import encode_jpeg
+
+        img = (np.add.outer(np.arange(16), np.arange(16)) * 4).astype(np.uint8)
+        dec = decode_image(encode_jpeg(img, 90), "jpeg")
+        assert dec.shape == img.shape
