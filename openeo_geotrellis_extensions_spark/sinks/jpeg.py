@@ -413,11 +413,17 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError("marker expected")
+        if pos + 2 > len(data):
+            raise ValueError("truncated JPEG")
         marker = data[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
             break
+        if pos + 2 > len(data):
+            raise ValueError("truncated JPEG")
         (seglen,) = struct.unpack_from(">H", data, pos)
+        if pos + seglen > len(data):
+            raise ValueError("truncated JPEG segment")
         seg = data[pos + 2: pos + seglen]
         if marker == 0xDB:  # DQT
             o = 0

@@ -179,8 +179,12 @@ def test_decode_image_png_and_media_decode(spark):
 
     img = (np.arange(48, dtype=np.uint8) * 5 % 251).reshape(6, 8)
     np.testing.assert_array_equal(decode_image(encode_png_bytes(img), "png"), img)
-    with pytest.raises(NotImplementedError):
+    # JPEG is REAL now too (sinks/jpeg.py) — truncated input is a format
+    # error; only formats with no codec in this env raise the honest stub
+    with pytest.raises(ValueError, match="truncated"):
         decode_image(b"\xff\xd8\xff", "jpeg")
+    with pytest.raises(NotImplementedError):
+        decode_image(b"...", "webp")
 
     docs = synth_docs(spark, 40)
     media = fetch_media(docs)

@@ -127,9 +127,10 @@ def test_multimodal_codec_seams():
     # fails with a format error, not a missing-codec stub
     with pytest.raises(ValueError, match="not a PNG"):
         decode_image(b"...", "png")
-    # JPEG/video stay honest stubs (no codec libs in this environment)
-    with pytest.raises(NotImplementedError):
+    # JPEG is REAL now (sinks/jpeg.py) — garbage input is a format error
+    with pytest.raises(ValueError, match="not a JPEG"):
         decode_image(b"...", "jpeg")
+    # video stays an honest stub (no codec libs in this environment)
     with pytest.raises(NotImplementedError):
         sample_frames(b"...")
 
