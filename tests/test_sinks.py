@@ -554,3 +554,100 @@ class TestJpegCodec:
         img = (np.add.outer(np.arange(16), np.arange(16)) * 4).astype(np.uint8)
         dec = decode_image(encode_jpeg(img, 90), "jpeg")
         assert dec.shape == img.shape
+
+
+def _craft_420_jpeg(rgb, quality=90):
+    """Hand-build a 4:2:0 subsampled JPEG from jpeg.py's own primitives —
+    the module's encoder writes 4:4:4 only, so this exercises the decoder's
+    generic MCU interleave + chroma upsample path."""
+    import struct
+
+    from openeo_geotrellis_extensions_spark.sinks import jpeg as J
+
+    h, w = rgb.shape[:2]
+    assert h % 16 == 0 and w % 16 == 0
+    r, g, b = [rgb[..., i].astype(np.float64) for i in range(3)]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    cb2 = cb.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+    cr2 = cr.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+    q_lum = J._scaled_quant(J._Q_LUM, quality)
+    q_chr = J._scaled_quant(J._Q_CHROM, quality)
+
+    def qblocks(plane, q):
+        blocks = J._blockify(plane - 128.0)
+        coeffs = np.einsum("ij,njk,lk->nil", J._DCT, blocks, J._DCT)
+        return np.round(coeffs / q).astype(np.int32).reshape(-1, 64)[:, J.ZIGZAG]
+
+    yb, cbb, crb = qblocks(y, q_lum), qblocks(cb2, q_chr), qblocks(cr2, q_chr)
+    ybw, cbw = w // 8, w // 16
+    mcux, mcuy = w // 16, h // 16
+    dc_l, ac_l = J._canonical_codes(*J._DC_LUM), J._canonical_codes(*J._AC_LUM)
+    dc_c, ac_c = J._canonical_codes(*J._DC_CHROM), J._canonical_codes(*J._AC_CHROM)
+    wtr = J._BitWriter()
+    prev = [0, 0, 0]
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for by in range(2):
+                for bx in range(2):
+                    bi = (my * 2 + by) * ybw + (mx * 2 + bx)
+                    prev[0] = J._encode_plane_blocks(yb[bi:bi + 1], wtr, dc_l, ac_l, prev[0])
+            for plane, ci in ((cbb, 1), (crb, 2)):
+                bi = my * cbw + mx
+                prev[ci] = J._encode_plane_blocks(plane[bi:bi + 1], wtr, dc_c, ac_c, prev[ci])
+    entropy = wtr.flush()
+    out = bytearray(b"\xff\xd8")
+    for tq, q in enumerate((q_lum, q_chr)):
+        zz = q.reshape(-1)[J.ZIGZAG].astype(np.uint8).tobytes()
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq]) + zz
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, h, w, 3)
+    out += bytes([1, 0x22, 0]) + bytes([2, 0x11, 1]) + bytes([3, 0x11, 1])
+    for tc_th, tab in ((0x00, J._DC_LUM), (0x10, J._AC_LUM),
+                       (0x01, J._DC_CHROM), (0x11, J._AC_CHROM)):
+        payload = bytes([tc_th]) + bytes(tab[0]) + bytes(tab[1])
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(payload)) + payload
+    out += b"\xff\xda" + struct.pack(">HB", 12, 3)
+    out += bytes([1, 0x00, 2, 0x11, 3, 0x11]) + b"\x00\x3f\x00"
+    out += entropy + b"\xff\xd9"
+    return bytes(out)
+
+
+def test_jpeg_420_subsampled_decode():
+    from openeo_geotrellis_extensions_spark.sinks.jpeg import decode_jpeg
+
+    rgb = np.zeros((32, 32, 3), np.uint8)
+    rgb[..., 0] = np.linspace(10, 240, 32)[:, None]
+    rgb[..., 1] = np.linspace(240, 10, 32)[None, :]
+    rgb[..., 2] = 96
+    dec = decode_jpeg(_craft_420_jpeg(rgb))
+    assert dec.shape == rgb.shape
+    mse = np.mean((rgb.astype(float) - dec.astype(float)) ** 2)
+    assert 10 * np.log10(255 ** 2 / mse) >= 30
+
+
+def test_jpeg_roundtrip_property():
+    """Hypothesis: any small uint8 image survives encode->decode with
+    bounded error at quality 95 (max abs error under quant-table ceiling)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from hypothesis.extra.numpy import arrays
+
+    from openeo_geotrellis_extensions_spark.sinks.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    @settings(max_examples=20, deadline=None)
+    @given(
+        arrays(np.uint8, st.tuples(st.integers(1, 24), st.integers(1, 24))),
+    )
+    def inner(img):
+        dec = decode_jpeg(encode_jpeg(img, quality=95))
+        assert dec.shape == img.shape and dec.dtype == np.uint8
+        if img.size >= 4:
+            mse = np.mean((img.astype(float) - dec.astype(float)) ** 2)
+            if mse > 0:
+                assert 10 * np.log10(255 ** 2 / mse) >= 25
+
+    inner()
