@@ -974,6 +974,125 @@ _GRAMS_CTE = _WORDS_CTE + """,
 """
 
 
+def _q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing over documents with deterministic PII injection (the
+    corpus is word-salad, so both sides append the SAME synthetic emails /
+    phones / IPs keyed on doc_id before redacting — the redaction logic is
+    what's under test). Map-only Column regexps; redacted text checked via
+    md5."""
+    from openeo_geotrellis_extensions_spark.pipeline.text import pii_redact
+
+    docs = spark.read.parquet(_DOCS.format(sf=sf_dir))
+    injected = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.lit(" contact user_"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com now"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 7 == 0, F.lit(" call +12-345-678-9012 soon")
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.concat(
+                    F.lit(" from 10.0."),
+                    (F.col("doc_id") % 256).cast("string"),
+                    F.lit(".7 host"),
+                ),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    return pii_redact(injected)
+
+
+def _oracle_pii_redact() -> str:
+    from openeo_geotrellis_extensions_spark.pipeline.text import PII_PATTERNS
+
+    pats = dict(PII_PATTERNS)
+    return rf"""
+        WITH injected AS (
+            SELECT doc_id,
+                   text
+                   || CASE WHEN doc_id % 5 = 0
+                           THEN ' contact user_' || doc_id || '@example.com now'
+                           ELSE '' END
+                   || CASE WHEN doc_id % 7 = 0
+                           THEN ' call +12-345-678-9012 soon' ELSE '' END
+                   || CASE WHEN doc_id % 11 = 0
+                           THEN ' from 10.0.' || (doc_id % 256) || '.7 host'
+                           ELSE '' END AS t
+            FROM documents
+        ),
+        s1 AS (SELECT doc_id,
+                      len(regexp_extract_all(t, '{pats["email"]}')) AS n_email,
+                      regexp_replace(t, '{pats["email"]}', '[REDACTED_EMAIL]', 'g') AS t
+               FROM injected),
+        s2 AS (SELECT doc_id, n_email,
+                      len(regexp_extract_all(t, '{pats["phone"]}')) AS n_phone,
+                      regexp_replace(t, '{pats["phone"]}', '[REDACTED_PHONE]', 'g') AS t
+               FROM s1),
+        s3 AS (SELECT doc_id, n_email, n_phone,
+                      len(regexp_extract_all(t, '{pats["ipv4"]}')) AS n_ipv4,
+                      regexp_replace(t, '{pats["ipv4"]}', '[REDACTED_IPV4]', 'g') AS t
+               FROM s2)
+        SELECT doc_id, CAST(n_email AS INT) AS n_email,
+               CAST(n_phone AS INT) AS n_phone, CAST(n_ipv4 AS INT) AS n_ipv4,
+               md5(t) AS redacted_md5
+        FROM s3
+    """
+
+
+def _q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-classifier inference as pure Column arithmetic — keep
+    thresholds the logit (pre-sigmoid) so the boundary is exact."""
+    from openeo_geotrellis_extensions_spark.pipeline.text import quality_classifier
+
+    docs = spark.read.parquet(_DOCS.format(sf=sf_dir))
+    return quality_classifier(docs).select(
+        "doc_id", "q_logit", "q_score", "keep"
+    )
+
+
+def _oracle_quality_classifier() -> str:
+    from openeo_geotrellis_extensions_spark.pipeline.text import QUALITY_WEIGHTS
+
+    sw = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+    w = QUALITY_WEIGHTS
+    return rf"""
+        WITH feats AS (
+            SELECT doc_id,
+                   ROUND(len(list_filter(string_split(trim(text), ' '),
+                                         x -> x IN ({sw})))
+                         * 1.0 / len(string_split(trim(text), ' ')), 6) AS stopword_ratio,
+                   ROUND(length(regexp_replace(text, '[^0-9]', '', 'g'))
+                         * 1.0 / length(text), 6) AS digit_ratio,
+                   ROUND(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+                         * 1.0 / length(text), 6) AS punct_ratio,
+                   ROUND(length(regexp_replace(text, '\s+', '', 'g'))
+                         * 1.0 / len(string_split(trim(text), ' ')), 6) AS mean_word_len
+            FROM documents
+        ),
+        scored AS (
+            SELECT doc_id,
+                   {w["bias"]} + {w["stopword_ratio"]} * stopword_ratio
+                   + {w["digit_ratio"]} * digit_ratio
+                   + {w["punct_ratio"]} * punct_ratio
+                   + {w["mean_word_len"]} * mean_word_len AS logit
+            FROM feats
+        )
+        SELECT doc_id, ROUND(logit, 6) AS q_logit,
+               ROUND(1.0 / (1.0 + exp(-logit)), 6) AS q_score,
+               logit >= 0 AS keep
+        FROM scored
+    """
+
+
 def _q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(_DOCS.format(sf=sf_dir))
     out = text_fingerprint(lang_id(quality_scores(token_counts(docs))))
@@ -2539,6 +2658,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "apply_kernel": _q_apply_kernel,
         "reduce_bands_ndvi": _q_reduce_bands_ndvi,
         "text_quality": _q_text_quality,
+        "pii_redact": _q_pii_redact,
+        "quality_classifier": _q_quality_classifier,
         "tfidf": _q_tfidf,
         "stratified_sample": _q_stratified_sample,
         "repetition_quality": _q_repetition_quality,
@@ -2600,6 +2721,8 @@ def oracle_sql() -> dict[str, str]:
         "apply_kernel": _oracle_apply_kernel(),
         "reduce_bands_ndvi": _oracle_reduce_bands_ndvi(),
         "text_quality": _oracle_text_quality(),
+        "pii_redact": _oracle_pii_redact(),
+        "quality_classifier": _oracle_quality_classifier(),
         "tfidf": _ORACLE_TFIDF,
         "stratified_sample": _oracle_stratified_sample(),
         "repetition_quality": _ORACLE_REPETITION,

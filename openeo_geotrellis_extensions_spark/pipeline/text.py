@@ -77,6 +77,70 @@ def quality_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+#: PII classes scrubbed by pii_redact — patterns restricted to the
+#: RE2 ∩ Java-regex common dialect so the DuckDB oracle runs them verbatim
+PII_PATTERNS = (
+    ("email", r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"),
+    ("phone", r"\+\d{2}[- ]\d{3}[- ]\d{3}[- ]\d{4}"),
+    ("ipv4", r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}"),
+)
+
+
+def pii_redact(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """PII scrubbing (emails, phone numbers, IPv4) — the standard
+    pre-training redaction pass, as pure Column regexp expressions
+    (whole-stage codegen; at 100 TB this is a map-only stage with zero
+    shuffle). Classes are counted and replaced SEQUENTIALLY (email first), so
+    later patterns see earlier redaction markers — a deterministic order the
+    oracle mirrors. -> (doc_id, n_email, n_phone, n_ipv4, redacted_md5);
+    the md5 of the scrubbed text keeps the full redaction output
+    value-checked without shipping the text."""
+    cur: Column = F.col(text_col)
+    counts: dict[str, Column] = {}
+    for name, pat in PII_PATTERNS:
+        counts[name] = F.size(F.regexp_extract_all(cur, F.lit(pat), F.lit(0)))
+        cur = F.regexp_replace(cur, F.lit(pat), F.lit(f"[REDACTED_{name.upper()}]"))
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        counts["email"].cast("int").alias("n_email"),
+        counts["phone"].cast("int").alias("n_phone"),
+        counts["ipv4"].cast("int").alias("n_ipv4"),
+        F.md5(cur).alias("redacted_md5"),
+    )
+
+
+#: interpretable linear quality model over the engine's own text features —
+#: the fastText-style filter SHAPE (learned weights would drop in unchanged)
+QUALITY_WEIGHTS = {
+    "bias": -1.2,
+    "stopword_ratio": 6.0,
+    "digit_ratio": -8.0,
+    "punct_ratio": -3.0,
+    "mean_word_len": 0.12,
+}
+
+
+def quality_classifier(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document-quality classifier inference as pure Column arithmetic (no
+    UDF, no shuffle): logistic score over quality_scores' 6dp-rounded
+    features. ``keep`` thresholds the LOGIT at 0 (pre-sigmoid), so engines
+    cannot disagree at the boundary — the rounded features make the linear
+    combination bit-identical across Spark and the SQL oracle."""
+    feats = quality_scores(df, text_col)
+    logit = F.lit(QUALITY_WEIGHTS["bias"])
+    for fname, w in QUALITY_WEIGHTS.items():
+        if fname == "bias":
+            continue
+        logit = logit + F.lit(w) * F.col(fname)
+    return (
+        feats.withColumn("q_logit", F.round(logit, 6))
+        .withColumn("q_score", F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6))
+        .withColumn("keep", (logit >= 0))
+    )
+
+
 def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """n-gram/stopword-marker language ID: score = marker-word hits per
     language, predicted = argmax (ties -> lexicographically first language,

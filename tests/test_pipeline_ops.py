@@ -336,3 +336,46 @@ def test_substring_duplicate_spans_semantics(spark):
     # plan: no cartesian anywhere; dfreq join is an equi-join on the hash
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pii_redact_counts_and_text(spark):
+    """Each PII class is counted and replaced; the md5 output matches the
+    expected scrubbed string; clean text passes through untouched."""
+    import hashlib
+
+    from openeo_geotrellis_extensions_spark.pipeline.text import pii_redact
+
+    rows = [
+        (1, "mail me at jo.doe+x@test.org or ping 10.20.30.40 and call +12-345-678-9012 ok"),
+        (2, "no pii here at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in pii_redact(df).collect()}
+    assert (got[1].n_email, got[1].n_phone, got[1].n_ipv4) == (1, 1, 1)
+    assert (got[2].n_email, got[2].n_phone, got[2].n_ipv4) == (0, 0, 0)
+    expected = ("mail me at [REDACTED_EMAIL] or ping [REDACTED_IPV4] "
+                "and call [REDACTED_PHONE] ok")
+    assert got[1].redacted_md5 == hashlib.md5(expected.encode()).hexdigest()
+    assert got[2].redacted_md5 == hashlib.md5(rows[1][1].encode()).hexdigest()
+
+
+def test_quality_classifier_monotone_and_exact_threshold(spark):
+    """Stopword-rich text scores higher than digit-heavy text; keep is
+    thresholded on the logit (deterministic at the boundary); no shuffle in
+    the plan (map-only inference)."""
+    from openeo_geotrellis_extensions_spark.pipeline.text import (
+        quality_classifier,
+    )
+
+    rows = [
+        (1, "the cat and the dog sat in a warm corner of the old house"),
+        (2, "98432 13 77 012345 555 90210 31337 2718281828 4590 452"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = quality_classifier(df)
+    got = {r.doc_id: r for r in out.collect()}
+    assert got[1].q_score > got[2].q_score
+    assert got[1].keep and not got[2].keep
+    assert (got[1].q_logit >= 0) == got[1].keep
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # pure map-side inference
