@@ -413,6 +413,9 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError("marker expected")
+        # optional 0xFF fill bytes before a marker are legal (T.81 B.1.1.2)
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
         if pos + 2 > len(data):
             raise ValueError("truncated JPEG")
         marker = data[pos + 1]

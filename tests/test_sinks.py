@@ -651,3 +651,20 @@ def test_jpeg_roundtrip_property():
                 assert 10 * np.log10(255 ** 2 / mse) >= 25
 
     inner()
+
+
+def test_jpeg_fill_bytes_before_marker():
+    """0xFF fill bytes before a marker are legal (T.81 B.1.1.2) and must be
+    skipped."""
+    from openeo_geotrellis_extensions_spark.sinks.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    img = (np.add.outer(np.arange(16), np.arange(16)) * 7).astype(np.uint8)
+    data = encode_jpeg(img, 90)
+    # inject fill bytes before the SOF0 marker
+    i = data.index(b"\xff\xc0")
+    padded = data[:i] + b"\xff\xff\xff" + data[i:]
+    dec = decode_jpeg(padded)
+    assert dec.shape == img.shape
