@@ -1259,6 +1259,64 @@ def _oracle_stratified_sample() -> str:
     """
 
 
+def _q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END curation pipeline composition — the shape a 100 TB
+    training-data run chains: quality-classifier filter (map-only) -> exact
+    dedup keeping only each group's canonical doc (ONE shuffle on the md5
+    content key) -> deterministic content-keyed Bernoulli sample. One
+    registered query proving the stages compose; every stage is itself
+    individually oracled."""
+    from openeo_geotrellis_extensions_spark.pipeline.sample import (
+        deterministic_sample,
+    )
+    from openeo_geotrellis_extensions_spark.pipeline.text import quality_classifier
+
+    docs = spark.read.parquet(_DOCS.format(sf=sf_dir))
+    kept = quality_classifier(docs).where("keep").select("doc_id", "text")
+    canon = (
+        dedup_exact(kept, text_col="text", id_col="doc_id")
+        .where(F.col("id") == F.col("canonical_id"))
+        .select(F.col("id").alias("doc_id"))
+    )
+    survivors = kept.join(canon, "doc_id", "left_semi")
+    sampled = deterministic_sample(survivors, "doc_id", 0.5, salt="curate")
+    return sampled.select("doc_id", F.md5("text").alias("text_md5"))
+
+
+def _oracle_corpus_curation() -> str:
+    from openeo_geotrellis_extensions_spark.pipeline.sample import _threshold_hex
+    from openeo_geotrellis_extensions_spark.pipeline.text import QUALITY_WEIGHTS
+
+    sw = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+    w = QUALITY_WEIGHTS
+    thr = _threshold_hex(0.5)
+    return rf"""
+        WITH feats AS (
+            SELECT doc_id, text,
+                   {w["bias"]}
+                   + {w["stopword_ratio"]} * ROUND(len(list_filter(string_split(trim(text), ' '),
+                                         x -> x IN ({sw})))
+                         * 1.0 / len(string_split(trim(text), ' ')), 6)
+                   + {w["digit_ratio"]} * ROUND(length(regexp_replace(text, '[^0-9]', '', 'g'))
+                         * 1.0 / length(text), 6)
+                   + {w["punct_ratio"]} * ROUND(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+                         * 1.0 / length(text), 6)
+                   + {w["mean_word_len"]} * ROUND(length(regexp_replace(text, '\s+', '', 'g'))
+                         * 1.0 / len(string_split(trim(text), ' ')), 6) AS logit
+            FROM documents
+        ),
+        kept AS (
+            SELECT doc_id, text,
+                   md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h
+            FROM feats WHERE logit >= 0
+        ),
+        canon AS (SELECT h, MIN(doc_id) AS cid FROM kept GROUP BY h)
+        SELECT k.doc_id, md5(k.text) AS text_md5
+        FROM kept k JOIN canon c ON k.h = c.h AND k.doc_id = c.cid
+        WHERE md5(CAST(k.doc_id AS VARCHAR) || ':curate') < '{thr}'
+    """
+
+
 def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return dedup_exact(ev, text_col="props", id_col="event_id").select(
@@ -2664,6 +2722,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _q_stratified_sample,
         "repetition_quality": _q_repetition_quality,
         "dedup_exact": _q_dedup_exact,
+        "corpus_curation": _q_corpus_curation,
         "substring_dup_spans": _q_substring_dup_spans,
         "ngram_jaccard": _q_ngram_jaccard,
         "ngram_jaccard_capped": _q_ngram_jaccard_capped,
@@ -2727,6 +2786,7 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": _oracle_stratified_sample(),
         "repetition_quality": _ORACLE_REPETITION,
         "dedup_exact": _ORACLE_DEDUP_EXACT,
+        "corpus_curation": _oracle_corpus_curation(),
         "substring_dup_spans": _ORACLE_SUBSTRING_DUP_SPANS,
         "ngram_jaccard": _ORACLE_NGRAM_JACCARD,
         "ngram_jaccard_capped": _ORACLE_NGRAM_JACCARD_CAPPED,
