@@ -38,6 +38,40 @@ from openeo_geotrellis_extensions_spark.sources.interleaved import (
 # so no doc coordinate or pixel center ever lies exactly on a boundary)
 # ---------------------------------------------------------------------------
 
+def _cached_fixture_file(path: str, build) -> str:
+    """Build-once fixture cache with ATOMIC publish: ``build(tmp_path)``
+    writes to a temp name in the same directory, then ``os.replace`` makes
+    it visible — a crash mid-build or a concurrent run (e.g. interleaved A/B
+    benches) can never leave a truncated file behind the exists-check."""
+    import os
+    import uuid
+
+    if os.path.exists(path):
+        return path
+    tmp = f"{path}.tmp.{uuid.uuid4().hex[:8]}"
+    build(tmp)
+    os.replace(tmp, path)
+    return path
+
+
+def _cached_events_src(sf_dir: str) -> str:
+    """Per-sf cached stream-source dir holding one events.parquet, built
+    atomically — the single helper behind every stream_* query."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    src = os.path.join(tempfile.gettempdir(), f"ev_stream_{tag}")
+    os.makedirs(src, exist_ok=True)
+    _cached_fixture_file(
+        os.path.join(src, "events.parquet"),
+        lambda tmp: shutil.copyfile(f"{sf_dir}/events.parquet", tmp),
+    )
+    return src
+
+
 #: (feature_index, xmin, ymin, xmax, ymax) — feature 0 covers the hot cell.
 RECT_FEATURES = [
     (0, 3.89995, 50.59995, 4.80005, 51.50005),
@@ -781,9 +815,10 @@ def _q_load_netcdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     cube = arithmetic_cube(spark, DIGEST_LAYOUT, n_bands=1, cell_type="float32")
-    path = os.path.join(tempfile.gettempdir(), "nc_digest_roundtrip.nc")
-    if not os.path.exists(path):
-        save_netcdf(cube, path)
+    path = _cached_fixture_file(
+        os.path.join(tempfile.gettempdir(), "nc_digest_roundtrip.nc"),
+        lambda tmp: save_netcdf(cube, tmp),
+    )
     return cube_digest(load_netcdf(spark, path, DIGEST_LAYOUT))
 
 
@@ -814,9 +849,10 @@ def _q_load_geotiff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     cube = arithmetic_cube(spark, DIGEST_LAYOUT, n_bands=2, cell_type="float64")
-    path = os.path.join(tempfile.gettempdir(), "gt_digest_roundtrip.tif")
-    if not os.path.exists(path):
-        save_stitched_geotiff(cube, path, rows_per_strip=8)
+    path = _cached_fixture_file(
+        os.path.join(tempfile.gettempdir(), "gt_digest_roundtrip.tif"),
+        lambda tmp: save_stitched_geotiff(cube, tmp, rows_per_strip=8),
+    )
     return cube_digest(load_geotiff(spark, path, DIGEST_LAYOUT))
 
 
@@ -2491,10 +2527,6 @@ def _oracle_dedup_groups() -> str:
 def _q_stream_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming event-time window + watermark, drained with an
     availableNow trigger — checked against the batch SQL below."""
-    import hashlib
-    import os
-    import shutil
-    import tempfile
     import uuid
 
     from openeo_geotrellis_extensions_spark.streaming.events import (
@@ -2502,12 +2534,7 @@ def _q_stream_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         windowed_event_stats,
     )
 
-    # deterministic per-sf source dir, reused across repeated runs
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    src = os.path.join(tempfile.gettempdir(), f"ev_stream_{tag}")
-    if not os.path.exists(os.path.join(src, "events.parquet")):
-        os.makedirs(src, exist_ok=True)
-        shutil.copy(f"{sf_dir}/events.parquet", src)
+    src = _cached_events_src(sf_dir)
     stream = windowed_event_stats(spark, src, window="1 day", watermark="2 days")
     name = f"q_stream_{uuid.uuid4().hex[:8]}"
     out = run_stream_to_memory(stream, name=name)
@@ -2520,10 +2547,6 @@ def _q_stream_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static enrichment join (broadcast dim per micro-batch) ->
     watermarked windowed agg, availableNow drain — batch SQL oracle."""
-    import hashlib
-    import os
-    import shutil
-    import tempfile
     import uuid
 
     from openeo_geotrellis_extensions_spark.streaming.events import (
@@ -2531,11 +2554,7 @@ def _q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_static_enriched_stats,
     )
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    src = os.path.join(tempfile.gettempdir(), f"ev_stream_{tag}")
-    if not os.path.exists(os.path.join(src, "events.parquet")):
-        os.makedirs(src, exist_ok=True)
-        shutil.copy(f"{sf_dir}/events.parquet", src)
+    src = _cached_events_src(sf_dir)
     # deterministic per-type weights the oracle recomputes arithmetically
     dim = spark.sql(
         "SELECT event_type, CAST(1.0 + length(event_type) * 0.25 AS DOUBLE) AS weight "
@@ -2566,10 +2585,6 @@ def _q_stream_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Headline spatial join under Structured Streaming: event-id-derived
     point stream -> broadcast cell-cover join + stateless PIP mapInPandas ->
     watermarked daily windowed count/sum per containing feature."""
-    import hashlib
-    import os
-    import shutil
-    import tempfile
     import uuid
 
     from openeo_geotrellis_extensions_spark.streaming.events import (
@@ -2577,11 +2592,7 @@ def _q_stream_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_spatial_join_stats,
     )
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    src = os.path.join(tempfile.gettempdir(), f"ev_stream_{tag}")
-    if not os.path.exists(os.path.join(src, "events.parquet")):
-        os.makedirs(src, exist_ok=True)
-        shutil.copy(f"{sf_dir}/events.parquet", src)
+    src = _cached_events_src(sf_dir)
     feats = _features_df(spark, RECT_FEATURES)
     stream = stream_spatial_join_stats(
         spark, src, feats, res=7, window="1 day", watermark="2 days"
@@ -2656,13 +2667,17 @@ def _q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # orphaned temp dirs
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     d = os.path.join(tempfile.gettempdir(), f"ev_dedup_stream_{tag}")
-    expected = [os.path.join(d, f"part_{i}.parquet") for i in range(8)]
-    if not all(os.path.exists(p) for p in expected):
-        os.makedirs(d, exist_ok=True)
+    if not os.path.exists(d):
+        # ATOMIC dir publish: build the full 8-chunk set in a tmp dir, then
+        # rename — a crash mid-COPY can never leave a partial set behind the
+        # exists-check, and concurrent builders race safely (loser discards)
+        tmp_d = f"{d}.tmp.{uuid.uuid4().hex[:8]}"
+        os.makedirs(tmp_d)
         con = duckdb.connect()
         try:
             t0 = int(_time.time()) - 3600
-            for i, path in enumerate(expected):
+            for i in range(8):
+                path = os.path.join(tmp_d, f"part_{i}.parquet")
                 con.execute(
                     f"COPY (SELECT event_id, ts, user_id, event_type, value, props FROM ("
                     f"SELECT *, NTILE(8) OVER (ORDER BY event_id) AS chunk "
@@ -2676,6 +2691,12 @@ def _q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 os.utime(path, (t0 + i, t0 + i))
         finally:
             con.close()
+        try:
+            os.rename(tmp_d, d)
+        except OSError:  # concurrent builder won the race
+            import shutil
+
+            shutil.rmtree(tmp_d, ignore_errors=True)
 
     out = run_stream_append_to_memory(
         streaming_dedup_first_seen(spark, d),

@@ -206,75 +206,87 @@ def aggregate_spatial(
         geom_cache: dict[int, object] = {}
         mask_cache: dict[tuple, np.ndarray] = {}
         px_area = shape[0] * shape[1]
-        for pdf in it:
-            nrow = len(pdf)
-            if nrow == 0:
-                continue
-            # one decode pass for the whole batch: (n, nb, h, w) with NaN
-            cube_vals = decode_tiles_batch_float(
-                pdf["bands"].tolist(), ct_name, shape, n_bands
-            )
-            contained = pdf["contained"].to_numpy(dtype=bool)
-            cols_a = pdf["col"].to_numpy()
-            rows_a = pdf["row"].to_numpy()
-            fis_a = pdf["feature_index"].to_numpy()
-            # interior ('contained') rows keep the implicit all-ones mask;
-            # only boundary rows rasterize their geometry
-            masks = np.ones((nrow, *shape), dtype=bool)
-            totals = np.full(nrow, px_area, dtype=np.int64)
-            for i in np.nonzero(~contained)[0]:
-                c, r, fi = int(cols_a[i]), int(rows_a[i]), int(fis_a[i])
-                mkey = (fi, c, r)
-                mask = mask_cache.get(mkey)
-                if mask is None:
-                    g = geom_cache.get(fi)
-                    if g is None:
-                        g = parse_geometry(pdf["geojson"].iloc[i])
-                        geom_cache[fi] = g
-                    xs, ys = layout.pixel_centers_for_key(c, r)
-                    if g.kind in ("Point", "MultiPoint"):
-                        mask = np.zeros(shape, dtype=bool)
-                        for px_, py_ in g.points:
-                            pc, pr = layout.key_for_point(px_, py_)
-                            if (pc, pr) == (c, r):
-                                ix = int((px_ - xs[0] + layout.cell_width / 2) // layout.cell_width)
-                                iy = int((ys[0] - py_ + layout.cell_height / 2) // layout.cell_height)
-                                if 0 <= iy < shape[0] and 0 <= ix < shape[1]:
-                                    mask[iy, ix] = True
-                    else:
-                        gx, gy = np.meshgrid(xs, ys)
-                        mask = points_in_geometry(
-                            g, gx.ravel(), gy.ravel()
-                        ).reshape(shape)
-                    mask_cache[mkey] = mask
-                masks[i] = mask
-                totals[i] = int(mask.sum())
-            # vectorized per-(row, band) stats over the masked batch
-            masked = np.where(masks[:, None, :, :], cube_vals, np.nan)
-            valid = ~np.isnan(masked)
-            cnt = valid.sum(axis=(2, 3))                       # (n, nb)
-            zeroed = np.where(valid, masked, 0.0)
-            sm = zeroed.sum(axis=(2, 3))
-            ssq = (zeroed * zeroed).sum(axis=(2, 3))
-            mn = np.min(np.where(valid, masked, np.inf), axis=(2, 3))
-            mx = np.max(np.where(valid, masked, -np.inf), axis=(2, 3))
-            # emit only (row, band) cells with >=1 valid pixel in a non-empty
-            # zone — NaN partials would poison group min/max; dense restore
-            # fills the missing rows downstream
-            ri, bi = np.nonzero((cnt > 0) & (totals[:, None] > 0))
-            yield pd.DataFrame(
-                {
-                    "time": pdf["time"].to_numpy()[ri],
-                    "feature_index": fis_a[ri],
-                    "band": bi.astype(np.int32),
-                    "cnt": cnt[ri, bi].astype(np.int64),
-                    "total": totals[ri],
-                    "sm": sm[ri, bi],
-                    "mn": mn[ri, bi],
-                    "mx": mx[ri, bi],
-                    "ssq": ssq[ri, bi],
-                }
-            )
+        # bound peak memory: the vectorized reduce materializes a few
+        # (rows, nb, h, w) float64 temporaries, so cap rows per chunk at
+        # ~8M elements (~64 MB per temporary) — a 10k-row Arrow batch of
+        # 256x256 production tiles would otherwise peak at several GB
+        chunk_rows = max(1, 8_000_000 // max(1, n_bands * px_area))
+        for full_pdf in it:
+            for lo in range(0, len(full_pdf), chunk_rows):
+                pdf = full_pdf.iloc[lo:lo + chunk_rows]
+                nrow = len(pdf)
+                if nrow == 0:
+                    continue
+                # one decode pass for the chunk: (n, nb, h, w) with NaN
+                cube_vals = decode_tiles_batch_float(
+                    pdf["bands"].tolist(), ct_name, shape, n_bands
+                )
+                contained = pdf["contained"].to_numpy(dtype=bool)
+                cols_a = pdf["col"].to_numpy()
+                rows_a = pdf["row"].to_numpy()
+                fis_a = pdf["feature_index"].to_numpy()
+                # interior ('contained') rows keep the implicit all-ones
+                # mask; only boundary rows rasterize their geometry
+                totals = np.full(nrow, px_area, dtype=np.int64)
+                for i in np.nonzero(~contained)[0]:
+                    c, r, fi = int(cols_a[i]), int(rows_a[i]), int(fis_a[i])
+                    mkey = (fi, c, r)
+                    mask = mask_cache.get(mkey)
+                    if mask is None:
+                        g = geom_cache.get(fi)
+                        if g is None:
+                            g = parse_geometry(pdf["geojson"].iloc[i])
+                            geom_cache[fi] = g
+                        xs, ys = layout.pixel_centers_for_key(c, r)
+                        if g.kind in ("Point", "MultiPoint"):
+                            mask = np.zeros(shape, dtype=bool)
+                            for px_, py_ in g.points:
+                                pc, pr = layout.key_for_point(px_, py_)
+                                if (pc, pr) == (c, r):
+                                    ix = int((px_ - xs[0] + layout.cell_width / 2) // layout.cell_width)
+                                    iy = int((ys[0] - py_ + layout.cell_height / 2) // layout.cell_height)
+                                    if 0 <= iy < shape[0] and 0 <= ix < shape[1]:
+                                        mask[iy, ix] = True
+                        else:
+                            gx, gy = np.meshgrid(xs, ys)
+                            mask = points_in_geometry(
+                                g, gx.ravel(), gy.ravel()
+                            ).reshape(shape)
+                        mask_cache[mkey] = mask
+                    # apply boundary mask IN PLACE on the owned decode buffer
+                    cube_vals[i, :, ~mask] = np.nan
+                    totals[i] = int(mask.sum())
+                # vectorized per-(row, band) stats; temporaries are created
+                # one at a time and freed, each bounded by chunk_rows
+                valid = ~np.isnan(cube_vals)
+                cnt = valid.sum(axis=(2, 3))                   # (n, nb)
+                tmp = np.where(valid, cube_vals, 0.0)
+                sm = tmp.sum(axis=(2, 3))
+                tmp *= tmp
+                ssq = tmp.sum(axis=(2, 3))
+                np.copyto(tmp, cube_vals, where=valid)
+                np.copyto(tmp, np.inf, where=~valid)
+                mn = tmp.min(axis=(2, 3))
+                np.copyto(tmp, -np.inf, where=~valid)
+                mx = tmp.max(axis=(2, 3))
+                del tmp, valid
+                # emit only (row, band) cells with >=1 valid pixel in a
+                # non-empty zone — NaN partials would poison group min/max;
+                # dense restore fills the missing rows downstream
+                ri, bi = np.nonzero((cnt > 0) & (totals[:, None] > 0))
+                yield pd.DataFrame(
+                    {
+                        "time": pdf["time"].to_numpy()[ri],
+                        "feature_index": fis_a[ri],
+                        "band": bi.astype(np.int32),
+                        "cnt": cnt[ri, bi].astype(np.int64),
+                        "total": totals[ri],
+                        "sm": sm[ri, bi],
+                        "mn": mn[ri, bi],
+                        "mx": mx[ri, bi],
+                        "ssq": ssq[ri, bi],
+                    }
+                )
 
     part = joined.mapInPandas(partials, schema=_PARTIAL_SCHEMA)
 

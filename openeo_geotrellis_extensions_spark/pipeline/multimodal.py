@@ -85,36 +85,50 @@ FEATURE_SCHEMA = StructType(
 )
 
 
+def _group_by_size(pdf: pd.DataFrame, arrays: list):
+    """Split an Arrow batch into same-pixel-count groups so each can stack
+    into one dense matrix — the media schema carries per-row width/height,
+    so heterogeneous sizes in one batch are part of the contract (a naive
+    np.stack over ragged rows raises)."""
+    lens = np.array([a.size for a in arrays])
+    for size in np.unique(lens):
+        idx = np.nonzero(lens == size)[0]
+        yield pdf.iloc[idx], np.stack([arrays[i] for i in idx])
+
+
 def media_features(media: DataFrame, nodata: int = 255) -> DataFrame:
     """Vectorized feature extraction over binary media content (pixel stats;
     the seam where an embedding model would run). Arrow-batched: decodes the
-    whole batch into one (N, H*W) matrix, no per-row Python."""
+    batch into one (N, H*W) matrix per distinct image size, no per-row
+    Python reduction."""
 
     def feats(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            if len(pdf) == 0:
+        for full_pdf in it:
+            if len(full_pdf) == 0:
                 continue
-            mat = np.stack(
-                [np.frombuffer(b, dtype=np.uint8) for b in pdf["content"]]
-            ).astype(np.float64)
-            mat[mat == nodata] = np.nan
-            import warnings
-
-            with warnings.catch_warnings():
-                warnings.simplefilter("ignore")
-                out = pd.DataFrame(
-                    {
-                        "doc_id": pdf["doc_id"].values,
-                        "span_idx": pdf["span_idx"].values,
-                        "n_valid": (~np.isnan(mat)).sum(axis=1),
-                        "mean_px": np.round(np.nanmean(mat, axis=1), 6),
-                        "min_px": np.nanmin(mat, axis=1),
-                        "max_px": np.nanmax(mat, axis=1),
-                    }
-                )
-            yield out
+            arrays = [np.frombuffer(b, dtype=np.uint8) for b in full_pdf["content"]]
+            for pdf, mat in _group_by_size(full_pdf, arrays):
+                yield _pixel_stats_frame(pdf, mat.astype(np.float64), nodata)
 
     return media.mapInPandas(feats, schema=FEATURE_SCHEMA)
+
+
+def _pixel_stats_frame(pdf: pd.DataFrame, mat: np.ndarray, nodata: int) -> pd.DataFrame:
+    mat[mat == nodata] = np.nan
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        return pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].values,
+                "span_idx": pdf["span_idx"].values,
+                "n_valid": (~np.isnan(mat)).sum(axis=1),
+                "mean_px": np.round(np.nanmean(mat, axis=1), 6),
+                "min_px": np.nanmin(mat, axis=1),
+                "max_px": np.nanmax(mat, axis=1),
+            }
+        )
 
 
 def decode_image(content: bytes, fmt: str) -> np.ndarray:
@@ -148,30 +162,17 @@ def media_decode_features(media: DataFrame, nodata: int = 255) -> DataFrame:
     def feats(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ..sinks.png import encode_png_bytes
 
-        for pdf in it:
-            if len(pdf) == 0:
+        for full_pdf in it:
+            if len(full_pdf) == 0:
                 continue
             decoded = []
-            for content, w, h in zip(pdf["content"], pdf["width"], pdf["height"]):
+            for content, w, h in zip(
+                full_pdf["content"], full_pdf["width"], full_pdf["height"]
+            ):
                 img = np.frombuffer(content, dtype=np.uint8).reshape(int(h), int(w))
-                out = decode_image(encode_png_bytes(img), "png")
-                decoded.append(out.reshape(-1))
-            mat = np.stack(decoded).astype(np.float64)
-            mat[mat == nodata] = np.nan
-            import warnings
-
-            with warnings.catch_warnings():
-                warnings.simplefilter("ignore")
-                yield pd.DataFrame(
-                    {
-                        "doc_id": pdf["doc_id"].values,
-                        "span_idx": pdf["span_idx"].values,
-                        "n_valid": (~np.isnan(mat)).sum(axis=1),
-                        "mean_px": np.round(np.nanmean(mat, axis=1), 6),
-                        "min_px": np.nanmin(mat, axis=1),
-                        "max_px": np.nanmax(mat, axis=1),
-                    }
-                )
+                decoded.append(decode_image(encode_png_bytes(img), "png").reshape(-1))
+            for pdf, mat in _group_by_size(full_pdf, decoded):
+                yield _pixel_stats_frame(pdf, mat.astype(np.float64), nodata)
 
     return media.mapInPandas(feats, schema=FEATURE_SCHEMA)
 
@@ -255,22 +256,28 @@ def media_resize(media: DataFrame, factor: int = 2, nodata: int = 255) -> DataFr
     Arrow-batched mapInPandas."""
 
     def blocks(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in RESIZE_SCHEMA.fields]
         for pdf in it:
-            out = []
+            frames = []
             for doc_id, si, content, w, h in zip(
                 pdf["doc_id"], pdf["span_idx"], pdf["content"],
                 pdf["width"], pdf["height"],
             ):
                 img = np.frombuffer(content, dtype=np.uint8).reshape(int(h), int(w))
                 small = resize_image(img, factor=factor, nodata=nodata)
-                for by in range(small.shape[0]):
-                    for bx in range(small.shape[1]):
-                        v = small[by, bx]
-                        out.append(
-                            (doc_id, int(si), by, bx,
-                             None if np.isnan(v) else float(v))
-                        )
-            yield pd.DataFrame(out, columns=[f.name for f in RESIZE_SCHEMA.fields])
+                hb, wb = small.shape
+                # one frame per image in a handful of numpy ops — no
+                # per-output-pixel Python tuples in the hot path
+                byx, bxx = np.meshgrid(np.arange(hb), np.arange(wb), indexing="ij")
+                frames.append(pd.DataFrame({
+                    "doc_id": np.repeat(doc_id, hb * wb),
+                    "span_idx": np.full(hb * wb, int(si), dtype=np.int32),
+                    "by": byx.ravel().astype(np.int32),
+                    "bx": bxx.ravel().astype(np.int32),
+                    "block_mean": small.ravel(),
+                }))
+            if frames:
+                yield pd.concat(frames, ignore_index=True)[cols]
 
     return media.mapInPandas(blocks, schema=RESIZE_SCHEMA)
 

@@ -44,6 +44,11 @@ def with_retries(
     ``add`` composed with logging to surface flake rates in the metrics
     table."""
 
+    # retries counts ATTEMPTS; anything below 1 would silently return None
+    # without ever invoking fn — reject it loudly instead
+    if retries < 1:
+        raise ValueError(f"retries must be >= 1 (attempts), got {retries}")
+
     def wrapped(*args, **kwargs):
         delay = backoff_s
         for attempt in range(retries):

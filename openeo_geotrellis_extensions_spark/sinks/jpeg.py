@@ -385,7 +385,9 @@ def _split_entropy(data: bytes, start: int) -> tuple[list[bytes], int]:
     chunk_start = start
     i = start
     while True:
-        j = data.index(b"\xff", i)
+        j = data.find(b"\xff", i)
+        if j < 0 or j + 1 >= len(data):
+            raise ValueError("truncated JPEG entropy stream (no terminator)")
         nxt = data[j + 1]
         if nxt == 0x00:
             i = j + 2

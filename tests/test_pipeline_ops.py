@@ -379,3 +379,31 @@ def test_quality_classifier_monotone_and_exact_threshold(spark):
     assert (got[1].q_logit >= 0) == got[1].keep
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # pure map-side inference
+
+
+def test_media_features_heterogeneous_sizes(spark):
+    """The media schema carries per-row width/height, so one Arrow batch may
+    mix image sizes — stats must not ragged-stack (regression: np.stack
+    ValueError on mixed 16x16 + 8x8 rows)."""
+    import numpy as np_
+
+    rows = []
+    for i, size in enumerate([16, 8, 16, 4]):
+        arr = (np_.arange(size * size) % 97).astype(np_.uint8)
+        rows.append((f"doc_{i}", 0, "tile://x", bytes(arr.tobytes()),
+                     size, size, "uint8", size * size))
+    media = spark.createDataFrame(
+        rows,
+        "doc_id string, span_idx int, media_ref string, content binary, "
+        "width int, height int, dtype string, n_bytes long",
+    ).coalesce(1)
+    got = {r.doc_id: r for r in media_features(media).collect()}
+    assert len(got) == 4
+    assert got["doc_1"].n_valid == 64 and got["doc_3"].n_valid == 16
+
+    from openeo_geotrellis_extensions_spark.pipeline.multimodal import (
+        media_resize,
+    )
+    rz = media_resize(media, factor=2).groupBy("doc_id").count().collect()
+    by_doc = {r.doc_id: r["count"] for r in rz}
+    assert by_doc == {"doc_0": 64, "doc_1": 16, "doc_2": 64, "doc_3": 4}
