@@ -57,6 +57,42 @@ def cell_for_point_col(res: int, x: Column, y: Column) -> Column:
     )
 
 
+_MORTON_MASKS = (
+    0x5555555555555555,
+    0x3333333333333333,
+    0x0F0F0F0F0F0F0F0F,
+    0x00FF00FF00FF00FF,
+    0x0000FFFF0000FFFF,
+)
+
+
+def _part1by1_col(v: Column) -> Column:
+    """Spread the low 32 bits of ``v`` into even bit positions — the Column
+    mirror of core.grid._part1by1 (pure shifts/masks, whole-stage codegen)."""
+    m = _MORTON_MASKS
+    v = v.bitwiseAND(F.lit(0xFFFFFFFF))
+    v = (v.bitwiseOR(F.shiftleft(v, 16))).bitwiseAND(F.lit(m[4]))
+    v = (v.bitwiseOR(F.shiftleft(v, 8))).bitwiseAND(F.lit(m[3]))
+    v = (v.bitwiseOR(F.shiftleft(v, 4))).bitwiseAND(F.lit(m[2]))
+    v = (v.bitwiseOR(F.shiftleft(v, 2))).bitwiseAND(F.lit(m[1]))
+    v = (v.bitwiseOR(F.shiftleft(v, 1))).bitwiseAND(F.lit(m[0]))
+    return v
+
+
+def zindex_col(col: Column, row: Column) -> Column:
+    """Morton (Z-curve) interleave of (col, row) as a pure Column expression
+    — the clustering key for sortWithinPartitions before a partitioned
+    write: rows land in Z-order inside each file, so parquet row-group
+    min/max stats on col/row stay tight and downstream range scans prune
+    (the reference's Z-curve PartitionerIndex re-expressed as a sort key,
+    geotrellis-common package.scala:38-49; numpy mirror core/grid.py:zindex)."""
+    c = col.cast("long")
+    r = row.cast("long")
+    return _part1by1_col(c).bitwiseOR(
+        F.shiftleft(_part1by1_col(r), 1)
+    ).cast("long")
+
+
 _COVER_SCHEMA = StructType(
     [
         StructField("feature_index", IntegerType()),

@@ -35,6 +35,12 @@ class ResumableWriter:
     out_dir: str
     partition_col: str = "bucket"
     lineage: dict = field(default_factory=dict)
+    #: optional clustering columns: rows are sortWithinPartitions'd on these
+    #: before the write, so each bucket file is laid out in that order and
+    #: parquet row-group min/max stats stay tight for downstream range scans
+    #: (pass a Z-order key, e.g. operators.spatial_join.zindex_col, for
+    #: spatial locality — the Delta OPTIMIZE ZORDER pattern)
+    order_by: tuple = ()
 
     # -- manifest ------------------------------------------------------------
     def _manifest_path(self) -> str:
@@ -90,7 +96,10 @@ class ResumableWriter:
         # one shuffle: co-locate each bucket on one task so partitionBy emits
         # ONE file per bucket (not tasks x buckets tiny files), and persist so
         # the count and the write share the computed input
-        remaining = remaining.repartition(F.col(pc)).persist()
+        remaining = remaining.repartition(F.col(pc))
+        if self.order_by:
+            remaining = remaining.sortWithinPartitions(*self.order_by)
+        remaining = remaining.persist()
         try:
             counts = {
                 r[pc]: r["n"]

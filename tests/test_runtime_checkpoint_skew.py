@@ -134,3 +134,38 @@ def test_manifest_lineage_and_metrics_fields(spark, docs_cells, tmp_path):
     )
     m = w.metrics()[0]
     assert m["rows"] == 500 and m["rows_per_sec"] > 0
+
+
+def test_zindex_col_matches_numpy_and_writer_clusters(spark, tmp_path):
+    """zindex_col == core.grid.zindex bit-for-bit; ResumableWriter(order_by=
+    zindex) lays each bucket file out in Z-order (monotone key per file)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from openeo_geotrellis_extensions_spark.core.grid import zindex
+    from openeo_geotrellis_extensions_spark.operators.spatial_join import (
+        zindex_col,
+    )
+    from openeo_geotrellis_extensions_spark.runtime.checkpoint import (
+        ResumableWriter,
+    )
+
+    df = spark.range(2000).select(
+        (F.col("id") % 53).cast("int").alias("c"),
+        (F.col("id") * 7 % 41).cast("int").alias("r"),
+    ).withColumn("z", zindex_col(F.col("c"), F.col("r")))
+    got = df.collect()
+    want = zindex([r.c for r in got], [r.r for r in got])
+    assert [r.z for r in got] == list(want)
+
+    bucketed = df.withColumn("bucket", (F.col("c") % 4).cast("string"))
+    out_dir = str(tmp_path / "zw")
+    ResumableWriter(out_dir, order_by=("z",)).run(bucketed)
+    back = spark.read.parquet(out_dir)
+    # within each written file, z must be monotone nondecreasing
+    files = back.select(
+        F.input_file_name().alias("f"), "z"
+    ).toPandas()
+    for _, grp in files.groupby("f"):
+        zs = grp["z"].to_list()
+        assert zs == sorted(zs)
