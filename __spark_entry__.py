@@ -49,7 +49,13 @@ def _cached_fixture_file(path: str, build) -> str:
     if os.path.exists(path):
         return path
     tmp = f"{path}.tmp.{uuid.uuid4().hex[:8]}"
-    build(tmp)
+    try:
+        build(tmp)
+    except BaseException:
+        # never leak a uuid-suffixed temp nothing will ever match again
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+        raise
     os.replace(tmp, path)
     return path
 
@@ -2666,8 +2672,15 @@ def _q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # min-of-N repeats and repeated correctness runs must not accumulate
     # orphaned temp dirs
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    import shutil
+
     d = os.path.join(tempfile.gettempdir(), f"ev_dedup_stream_{tag}")
-    if not os.path.exists(d):
+    # completeness check on ALL 8 chunks (not just the dir): a partial set
+    # left by any pre-atomic-publish writer must be rebuilt, not trusted
+    expected = [os.path.join(d, f"part_{i}.parquet") for i in range(8)]
+    if not all(os.path.exists(p) for p in expected):
+        if os.path.exists(d):
+            shutil.rmtree(d)
         # ATOMIC dir publish: build the full 8-chunk set in a tmp dir, then
         # rename — a crash mid-COPY can never leave a partial set behind the
         # exists-check, and concurrent builders race safely (loser discards)
@@ -2689,13 +2702,14 @@ def _q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # would make batch composition (and therefore first-seen)
                 # nondeterministic
                 os.utime(path, (t0 + i, t0 + i))
-        finally:
+        except BaseException:
             con.close()
+            shutil.rmtree(tmp_d, ignore_errors=True)  # no leaked tmp dirs
+            raise
+        con.close()
         try:
             os.rename(tmp_d, d)
         except OSError:  # concurrent builder won the race
-            import shutil
-
             shutil.rmtree(tmp_d, ignore_errors=True)
 
     out = run_stream_append_to_memory(

@@ -223,7 +223,9 @@ _B = [
 
 
 def _part1by1(v: np.ndarray) -> np.ndarray:
-    v = v.astype(np.uint64)
+    # mask to the 32-bit input domain so negative/oversized inputs behave
+    # identically to the Column mirror (operators/spatial_join.zindex_col)
+    v = v.astype(np.uint64) & np.uint64(0xFFFFFFFF)
     v = (v | (v << np.uint64(16))) & _B[4]
     v = (v | (v << np.uint64(8))) & _B[3]
     v = (v | (v << np.uint64(4))) & _B[2]

@@ -98,7 +98,12 @@ class ResumableWriter:
         # the count and the write share the computed input
         remaining = remaining.repartition(F.col(pc))
         if self.order_by:
-            remaining = remaining.sortWithinPartitions(*self.order_by)
+            # leading partition_col: FileFormatWriter requires ordering on
+            # the partition column and would otherwise insert its OWN
+            # Sort(bucket) on top — whose spill-merge does not preserve the
+            # z-order within equal-bucket runs at scale. Sorting (bucket, z)
+            # here satisfies the write's required ordering directly.
+            remaining = remaining.sortWithinPartitions(pc, *self.order_by)
         remaining = remaining.persist()
         try:
             counts = {
