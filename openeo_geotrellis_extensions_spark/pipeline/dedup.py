@@ -111,6 +111,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.3,
     max_df: int | None = None,
     log_dropped: bool = False,
+    max_docs: int | None = 10_000,
 ) -> DataFrame:
     """n-gram Jaccard similarity join: pairs (id_a < id_b, jaccard >=
     threshold). Inverted-index self-join on shared n-grams (only co-occurring
@@ -123,7 +124,16 @@ def ngram_jaccard_pairs(
     still uses the FULL gram sets, so surviving pairs get their exact
     jaccard; pairs sharing only hot grams are missed (the documented lossy
     tradeoff). ``log_dropped=True`` logs the dropped-gram count — that runs
-    an EXTRA eager aggregation job over the corpus, so it is opt-in."""
+    an EXTRA eager aggregation job over the corpus, so it is opt-in.
+
+    The UNCAPPED path (``max_df=None``) is the exact-semantics baseline: its
+    inverted-index self-join is quadratic in the hottest shingle's document
+    frequency (a boilerplate 3-gram in 10^6 docs builds a 10^12-pair
+    bucket), so it carries the same corpus-size contract as
+    ``cosine_topk_bruteforce`` (similarity.py): above ``max_docs`` rows it
+    raises instead of launching the hot-bucket join. The 100 TB paths are
+    ``max_df=<cap>`` (prefix filtering) or ``minhash_lsh``. Pass
+    ``max_docs=None`` only in tests that deliberately sweep exactness."""
     grams = word_ngrams(df, text_col, id_col, n)
     if max_df is not None:
         hot = (
@@ -154,6 +164,15 @@ def ngram_jaccard_pairs(
         return jaccard_verify(df, cand, text_col, id_col, n).where(
             F.col("jaccard") >= threshold
         )
+    if max_docs is not None:
+        n_docs = df.select(id_col).limit(max_docs + 1).count()
+        if n_docs > max_docs:
+            raise ValueError(
+                f"ngram_jaccard_pairs: corpus has >{max_docs} docs and no "
+                "max_df cap — the uncapped inverted-index self-join is "
+                "quadratic on hot n-grams. Set max_df (prefix filtering), "
+                "use minhash_lsh, or pass max_docs explicitly."
+            )
     sizes = grams.groupBy("id").agg(F.count("*").alias("sz"))
     a = grams.alias("a")
     b = grams.alias("b")

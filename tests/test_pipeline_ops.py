@@ -201,6 +201,19 @@ def test_ngram_jaccard_max_df_drops_only_hot_gram_pairs(spark):
         assert full[pair] == j
 
 
+def test_ngram_jaccard_uncapped_guard_raises_on_large_corpus(spark):
+    """Uncapped (max_df=None) path carries the same corpus-size contract as
+    cosine_topk_bruteforce: above max_docs it raises instead of launching the
+    quadratic hot-shingle self-join; max_df or max_docs=None opt out."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    with pytest.raises(ValueError, match="quadratic on hot n-grams"):
+        ngram_jaccard_pairs(docs, threshold=0.05, max_docs=10)
+    # capped path unaffected by the guard (its hot buckets are pre-pruned)
+    assert ngram_jaccard_pairs(docs, threshold=0.05, max_df=4, max_docs=10).count()
+    # explicit opt-out still runs
+    assert ngram_jaccard_pairs(docs, threshold=0.05, max_docs=None).count()
+
+
 def test_tfidf_top_terms(spark):
     """TF-IDF: hand-checked on a 3-doc corpus + JVM-only plan."""
     from openeo_geotrellis_extensions_spark.pipeline.text import tfidf_top_terms
