@@ -771,6 +771,89 @@ def _oracle_resample_utm() -> str:
     """
 
 
+def _q_resample_laea(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """European-grid warp (EPSG:3035 ETRS89-LAEA): the reference's own test
+    surface exercises LAEA (LoadStacPyramidFactoryTest.scala). Arithmetic
+    cube on DIGEST_LAYOUT (EPSG:4326) reprojected onto the snapped EPSG:3035
+    layout through the Snyder ellipsoidal equal-area math; the oracle
+    regenerates every target pixel through the same closed-form inverse-LAEA
+    formulas with identical literal coefficients."""
+    from openeo_geotrellis_extensions_spark.core.proj import utm_layout_for
+    from openeo_geotrellis_extensions_spark.operators.resample import (
+        resample_spatial,
+    )
+
+    cube = arithmetic_cube(spark, DIGEST_LAYOUT, n_bands=1, cell_type="float64")
+    target = utm_layout_for(DIGEST_LAYOUT, resolution=14000.0, dst_crs="EPSG:3035")
+    assert target.crs == "EPSG:3035" and target.layout_cols == 3
+    return cube_digest(resample_spatial(cube, target))
+
+
+def _oracle_resample_laea() -> str:
+    """Target pixels regenerated via inverse ellipsoidal LAEA in SQL
+    (Snyder 24-31..24-34 + authalic series 3-18), every constant emitted as
+    the repr() of the numpy double the engine uses — the only cross-engine
+    drift is transcendental ulp noise against ~1e-3-deg margins to the
+    nearest source-pixel boundary."""
+    from openeo_geotrellis_extensions_spark.core import proj as P
+
+    target = P.utm_layout_for(DIGEST_LAYOUT, resolution=14000.0, dst_crs="EPSG:3035")
+    sb1, cb1, d, lon0, x0, y0 = P._laea_consts("EPSG:3035")
+    qp, rq = P._LAEA_QP, P._LAEA_RQ
+    p1, p2, p3 = P._B2P
+    res = 14000.0
+    src = f"""
+        SELECT dd.date, t.c, t.r, 0 AS band,
+               CASE WHEN (gx % 8 + gy % 8 + gx // 8 + gy // 8 + dd.di) % 13 = 0
+                    THEN NULL
+                    ELSE CAST(((gx % 8) * 3 + (gy % 8) * 5 + (gx // 8) * 13
+                               + (gy // 8) * 7 + dd.di * 11) % 97 AS DOUBLE)
+               END AS v
+        FROM dates dd, utiles t, upx px, upy py,
+        LATERAL (SELECT CAST({sb1!r} AS DOUBLE) AS sb1,
+                        CAST({cb1!r} AS DOUBLE) AS cb1,
+                        CAST({d!r} AS DOUBLE) AS dd2,
+                        CAST({qp!r} AS DOUBLE) AS qp,
+                        CAST({rq!r} AS DOUBLE) AS rq) k,
+        LATERAL (SELECT
+            (CAST({target.extent.xmin!r} AS DOUBLE)
+               + (t.c * 8 + px.px + 0.5) * CAST({res!r} AS DOUBLE)) AS E,
+            (CAST({target.extent.ymax!r} AS DOUBLE)
+               - (t.r * 8 + py.py + 0.5) * CAST({res!r} AS DOUBLE)) AS N
+        ) en,
+        LATERAL (SELECT (en.E - CAST({x0!r} AS DOUBLE)) AS xp,
+                        (en.N - CAST({y0!r} AS DOUBLE)) AS yp) s0,
+        LATERAL (SELECT sqrt((s0.xp / k.dd2) * (s0.xp / k.dd2)
+                             + (k.dd2 * s0.yp) * (k.dd2 * s0.yp)) AS rho) s1,
+        LATERAL (SELECT 2.0 * asin(s1.rho / (2.0 * k.rq)) AS ce) s2,
+        LATERAL (SELECT sin(s2.ce) AS sce, cos(s2.ce) AS cce) sc,
+        LATERAL (SELECT
+            k.qp * (sc.cce * k.sb1
+                    + k.dd2 * s0.yp * sc.sce * k.cb1 / s1.rho) AS q,
+            CAST({lon0!r} AS DOUBLE) + degrees(atan2(
+                s0.xp * sc.sce,
+                k.dd2 * s1.rho * k.cb1 * sc.cce
+                  - k.dd2 * k.dd2 * s0.yp * k.sb1 * sc.sce)) AS lon) s3,
+        LATERAL (SELECT asin(s3.q / k.qp) AS beta) s4,
+        LATERAL (SELECT degrees(s4.beta
+                                + CAST({p1!r} AS DOUBLE) * sin(2.0 * s4.beta)
+                                + CAST({p2!r} AS DOUBLE) * sin(4.0 * s4.beta)
+                                + CAST({p3!r} AS DOUBLE) * sin(6.0 * s4.beta)) AS lat) s5,
+        LATERAL (SELECT CAST(floor(s3.lon / 0.125) AS INT) AS gx,
+                        CAST(floor((2.0 - s5.lat) / 0.125) AS INT) AS gy) g
+        WHERE gx >= 0 AND gx < 16 AND gy >= 0 AND gy < 16
+    """
+    return f"""
+        WITH {_digest_base_cte()},
+        utiles AS (SELECT CAST(c AS INT) AS c, CAST(r AS INT) AS r
+                   FROM generate_series(0, {target.layout_cols - 1}) t1(c),
+                        generate_series(0, {target.layout_rows - 1}) t2(r)),
+        upx AS (SELECT CAST(px AS INT) AS px FROM generate_series(0, 7) t(px)),
+        upy AS (SELECT CAST(py AS INT) AS py FROM generate_series(0, 7) t(py))
+        {_digest_tail(src)}
+    """
+
+
 #: 2x-downscale target for the bilinear method query (same extent, 1 tile)
 _DOWN2_LAYOUT = LayoutDefinition(_Extent(0.0, 0.0, 2.0, 2.0), 1, 1, 8, 8)
 
@@ -2743,6 +2826,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_join": _q_stream_join,
         "stream_spatial_join": _q_stream_spatial_join,
         "stream_dedup_stateful": _q_stream_dedup,
+        "resample_laea": _q_resample_laea,
         "doc_cells": _q_doc_cells,
         "spatial_join": _q_spatial_join,
         "zonal_stats_const": _q_zonal_const,
@@ -2815,6 +2899,7 @@ def oracle_sql() -> dict[str, str]:
         "resample_crs": _oracle_resample_crs(),
         "resample_bilinear": _oracle_resample_bilinear(),
         "resample_utm": _oracle_resample_utm(),
+        "resample_laea": _oracle_resample_laea(),
         "load_netcdf": _oracle_load_netcdf(),
         "load_geotiff": _oracle_load_geotiff(),
         "apply_kernel": _oracle_apply_kernel(),

@@ -205,6 +205,106 @@ def utm_inverse(zone: int, south: bool):
     return inv
 
 
+# ---------------------------------------------------------------------------
+# Lambert azimuthal equal-area (ellipsoidal, oblique) — EPSG:3035
+# (ETRS89-extended / LAEA Europe, GRS80 ellipsoid).  The reference's own test
+# surface exercises EPSG:3035 (LoadStacPyramidFactoryTest.scala); formulas are
+# Snyder, "Map Projections — A Working Manual", pp. 187-190 (authalic
+# latitude + azimuthal equal-area on the authalic sphere).
+# ---------------------------------------------------------------------------
+
+#: GRS80 ellipsoid (ETRS89 datum of EPSG:3035)
+_GRS80_A = 6378137.0
+_GRS80_F = 1.0 / 298.257222101
+_GRS80_E2 = _GRS80_F * (2.0 - _GRS80_F)
+_GRS80_E = float(np.sqrt(_GRS80_E2))
+
+#: authalic -> geodetic latitude series (Snyder eq. 3-18), beta -> phi
+_B2P = (
+    _GRS80_E2 / 3.0 + 31.0 * _GRS80_E2**2 / 180.0 + 517.0 * _GRS80_E2**3 / 5040.0,
+    23.0 * _GRS80_E2**2 / 360.0 + 251.0 * _GRS80_E2**3 / 3780.0,
+    761.0 * _GRS80_E2**3 / 45360.0,
+)
+
+#: crs -> (lat_0, lon_0, false easting, false northing)
+_LAEA_PARAMS: dict[str, tuple[float, float, float, float]] = {
+    "EPSG:3035": (52.0, 10.0, 4321000.0, 3210000.0),
+}
+
+
+def _authalic_q(sin_phi: np.ndarray) -> np.ndarray:
+    """Snyder eq. 3-12: q(phi) such that authalic latitude
+    beta = arcsin(q / q_p).  Vectorized over sin(phi)."""
+    es = _GRS80_E * sin_phi
+    return (1.0 - _GRS80_E2) * (
+        sin_phi / (1.0 - _GRS80_E2 * sin_phi * sin_phi)
+        - np.log((1.0 - es) / (1.0 + es)) / (2.0 * _GRS80_E)
+    )
+
+
+#: q at the pole (phi = 90 deg)
+_LAEA_QP = float(_authalic_q(np.array(1.0)))
+#: radius of the authalic sphere
+_LAEA_RQ = _GRS80_A * float(np.sqrt(_LAEA_QP / 2.0))
+
+
+def _laea_consts(crs: str) -> tuple[float, float, float, float, float, float]:
+    """(sin beta1, cos beta1, D, lon0_deg, x0, y0) for a registered LAEA crs."""
+    lat0, lon0, x0, y0 = _LAEA_PARAMS[crs]
+    phi1 = np.radians(lat0)
+    beta1 = float(np.arcsin(_authalic_q(np.sin(phi1)) / _LAEA_QP))
+    m1 = float(np.cos(phi1) / np.sqrt(1.0 - _GRS80_E2 * np.sin(phi1) ** 2))
+    d = _GRS80_A * m1 / (_LAEA_RQ * float(np.cos(beta1)))
+    return float(np.sin(beta1)), float(np.cos(beta1)), d, lon0, x0, y0
+
+
+def laea_forward(crs: str):
+    """(lon_deg, lat_deg) arrays -> (easting, northing) for a registered
+    ellipsoidal-LAEA CRS (Snyder eqs. 24-26..24-30, oblique aspect)."""
+    sb1, cb1, d, lon0, x0, y0 = _laea_consts(crs)
+
+    def fwd(lon: np.ndarray, lat: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        lam = np.radians(np.asarray(lon, dtype=np.float64) - lon0)
+        phi = np.radians(np.asarray(lat, dtype=np.float64))
+        beta = np.arcsin(np.clip(_authalic_q(np.sin(phi)) / _LAEA_QP, -1.0, 1.0))
+        sb, cb = np.sin(beta), np.cos(beta)
+        b = _LAEA_RQ * np.sqrt(2.0 / (1.0 + sb1 * sb + cb1 * cb * np.cos(lam)))
+        return (
+            x0 + b * d * cb * np.sin(lam),
+            y0 + (b / d) * (cb1 * sb - sb1 * cb * np.cos(lam)),
+        )
+
+    return fwd
+
+
+def laea_inverse(crs: str):
+    """(easting, northing) arrays -> (lon_deg, lat_deg) for a registered
+    ellipsoidal-LAEA CRS (Snyder eqs. 24-31..24-34 + series 3-18)."""
+    sb1, cb1, d, lon0, x0, y0 = _laea_consts(crs)
+    p1, p2, p3 = _B2P
+
+    def inv(e: np.ndarray, n: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        xp = np.asarray(e, dtype=np.float64) - x0
+        yp = np.asarray(n, dtype=np.float64) - y0
+        rho = np.sqrt((xp / d) ** 2 + (d * yp) ** 2)
+        ce = 2.0 * np.arcsin(np.clip(rho / (2.0 * _LAEA_RQ), -1.0, 1.0))
+        sce, cce = np.sin(ce), np.cos(ce)
+        with np.errstate(invalid="ignore"):  # rho=0 at the projection center
+            q = _LAEA_QP * (cce * sb1 + d * yp * sce * cb1 / rho)
+        q = np.where(rho == 0.0, _LAEA_QP * sb1, q)
+        lam = np.arctan2(xp * sce, d * rho * cb1 * cce - d * d * yp * sb1 * sce)
+        beta = np.arcsin(np.clip(q / _LAEA_QP, -1.0, 1.0))
+        phi = (
+            beta
+            + p1 * np.sin(2.0 * beta)
+            + p2 * np.sin(4.0 * beta)
+            + p3 * np.sin(6.0 * beta)
+        )
+        return lon0 + np.degrees(lam), np.degrees(phi)
+
+    return inv
+
+
 PointFn = Callable[[np.ndarray, np.ndarray], tuple[np.ndarray, np.ndarray]]
 
 
@@ -239,7 +339,17 @@ def point_transform(src_crs: str, dst_crs: str) -> PointFn:
         return utm_inverse(*src_utm)
     if src_crs == "EPSG:4326" and dst_utm:
         return utm_forward(*dst_utm)
-    if src_utm or dst_utm:  # UTM <-> 3857 or UTM <-> UTM: hop through 4326
+    if src_crs in _LAEA_PARAMS and dst_crs == "EPSG:4326":
+        return laea_inverse(src_crs)
+    if src_crs == "EPSG:4326" and dst_crs in _LAEA_PARAMS:
+        return laea_forward(dst_crs)
+    # projected <-> projected (UTM/LAEA/3857 in any combination): hop
+    # through the 4326 geodetic hub — but only when BOTH legs resolve, so
+    # unsupported codes still raise instead of recursing.
+    known = ("EPSG:3857",)
+    if (src_utm or src_crs in _LAEA_PARAMS or src_crs in known) and (
+        dst_utm or dst_crs in _LAEA_PARAMS or dst_crs in known
+    ):
         return _compose(
             point_transform(src_crs, "EPSG:4326"),
             point_transform("EPSG:4326", dst_crs),
