@@ -4,11 +4,24 @@ lineage + metrics").
 
 Model: a run materializes a DataFrame into ``out_dir`` bucketed by a
 partition column (typically a coarse spatial cell + salt for hot cells).
-A manifest (JSON lines, atomic append via rename) records every COMPLETED
-bucket with row count, wall time, attempt id, and a lineage descriptor.
-Resume = recompute only buckets missing from the manifest; partially-written
-bucket directories from a crashed attempt are removed first (idempotent
-overwrite per bucket).
+Completion is recorded in a COMMIT LOG — one immutable JSON file per
+completed attempt under ``_commits/``, each listing the buckets it
+completed and the exact data files it wrote (the Iceberg snapshot/manifest
+pattern). Nothing is ever renamed or appended in place, so the semantics
+survive on object stores where rename is not atomic (S3): publishing an
+attempt is the single create-new PUT of its commit file.
+
+Resume = recompute only buckets missing from the union of committed
+attempts. Crashed attempts leave stray data files that no commit
+references; readers reconcile by reading ONLY files referenced by the
+winning commit per bucket (:meth:`ResumableWriter.read`), and
+:meth:`ResumableWriter.vacuum` deletes unreferenced files with plain
+list+delete (also object-store-safe).
+
+Scope note: this covers the ENGINE's manifest machinery. Spark's own
+parquet task commit still goes through its configured output committer —
+on a real object store you pair this with a cloud-native committer
+(directory/magic committer), which is a spark-submit config, not code.
 
 This is batch per-partition restart, not streaming state — matching the
 reference's batch-only execution model (SURVEY §2.10).
@@ -18,7 +31,6 @@ from __future__ import annotations
 
 import json
 import os
-import shutil
 import time
 import uuid
 from dataclasses import dataclass, field
@@ -26,8 +38,56 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-MANIFEST = "_manifest.jsonl"
-METRICS = "_metrics.jsonl"
+#: commit-log directory (one immutable file per completed attempt)
+COMMITS_DIR = "_commits"
+#: legacy constant kept for import compatibility — the commit log replaced
+#: the single rename-appended manifest file in round 4
+MANIFEST = COMMITS_DIR
+
+
+class LocalFS:
+    """Filesystem seam for the commit log. The interface is deliberately
+    rename-free: the only write primitive is ``write_new`` (create-new, the
+    S3 conditional-PUT shape), so any implementation on an object store is
+    automatically safe. Tests inject a shim that forbids os-level renames to
+    prove the writer never needs one."""
+
+    def makedirs(self, path: str) -> None:
+        os.makedirs(path, exist_ok=True)
+
+    def exists(self, path: str) -> bool:
+        return os.path.exists(path)
+
+    def listdir(self, path: str) -> list[str]:
+        try:
+            return sorted(os.listdir(path))
+        except FileNotFoundError:
+            return []
+
+    def walk_files(self, root: str) -> list[str]:
+        """All file paths under root, relative to root, '/'-separated."""
+        out: list[str] = []
+        for dirpath, _dirnames, filenames in os.walk(root):
+            rel = os.path.relpath(dirpath, root)
+            for fn in filenames:
+                out.append(fn if rel == "." else f"{rel.replace(os.sep, '/')}/{fn}")
+        return sorted(out)
+
+    def read_text(self, path: str) -> str:
+        with open(path) as f:
+            return f.read()
+
+    def write_new(self, path: str, text: str) -> None:
+        """Create-new write: fails if the path already exists (conditional
+        PUT). Single call per attempt — the commit publication point."""
+        with open(path, "x") as f:
+            f.write(text)
+
+    def delete(self, path: str) -> None:
+        try:
+            os.remove(path)
+        except FileNotFoundError:
+            pass
 
 
 @dataclass
@@ -41,49 +101,60 @@ class ResumableWriter:
     #: (pass a Z-order key, e.g. operators.spatial_join.zindex_col, for
     #: spatial locality — the Delta OPTIMIZE ZORDER pattern)
     order_by: tuple = ()
+    fs: LocalFS = field(default_factory=LocalFS)
 
-    # -- manifest ------------------------------------------------------------
-    def _manifest_path(self) -> str:
-        return os.path.join(self.out_dir, MANIFEST)
+    # -- commit log ----------------------------------------------------------
+    def _commits_dir(self) -> str:
+        return os.path.join(self.out_dir, COMMITS_DIR)
+
+    def commits(self) -> list[dict]:
+        """All committed attempts, in commit-file order (the reconciliation
+        order: the FIRST commit naming a bucket wins it)."""
+        cdir = self._commits_dir()
+        out = []
+        for name in self.fs.listdir(cdir):
+            if name.startswith("commit-") and name.endswith(".json"):
+                rec = json.loads(self.fs.read_text(os.path.join(cdir, name)))
+                rec["_file"] = name
+                out.append(rec)
+        return out
 
     def completed_buckets(self) -> set[str]:
-        path = self._manifest_path()
         done: set[str] = set()
-        if os.path.exists(path):
-            with open(path) as f:
-                for line in f:
-                    if line.strip():
-                        done.add(json.loads(line)["bucket"])
+        for c in self.commits():
+            done.update(c["buckets"])
         return done
 
-    def _append_records(self, fname: str, records: list[dict]) -> None:
-        """Atomic append: write tmp, concatenate, rename over."""
-        path = os.path.join(self.out_dir, fname)
-        tmp = f"{path}.tmp.{uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
-            if os.path.exists(path):
-                with open(path) as old:
-                    f.write(old.read())
-            for r in records:
-                f.write(json.dumps(r) + "\n")
-        os.replace(tmp, path)
+    def _bucket_files(self) -> dict[str, list[str]]:
+        """bucket -> winning data files (relative paths), first commit wins."""
+        win: dict[str, list[str]] = {}
+        for c in self.commits():
+            for b, files in c["files"].items():
+                win.setdefault(b, files)
+        return win
+
+    def _data_files(self) -> set[str]:
+        """All parquet data files currently under out_dir (relative)."""
+        return {
+            f
+            for f in self.fs.walk_files(self.out_dir)
+            if f.endswith(".parquet")
+            and not f.startswith(f"{COMMITS_DIR}/")
+            and "/_" not in f
+            and not f.startswith("_")
+        }
 
     # -- run -----------------------------------------------------------------
     def run(self, df: DataFrame) -> dict:
         """Write ``df`` (must contain ``partition_col``) bucket-partitioned,
-        skipping buckets already in the manifest. Returns a summary dict.
-        Safe to re-invoke after any crash."""
-        os.makedirs(self.out_dir, exist_ok=True)
+        skipping buckets already committed. Returns a summary dict. Safe to
+        re-invoke after any crash: an attempt becomes visible atomically via
+        its commit file; stray files of crashed attempts are never read."""
+        self.fs.makedirs(self.out_dir)
+        self.fs.makedirs(self._commits_dir())
         attempt = uuid.uuid4().hex[:12]
         done = self.completed_buckets()
         pc = self.partition_col
-
-        # stale partial bucket dirs (crashed attempt): remove before rewrite
-        for name in os.listdir(self.out_dir):
-            if name.startswith(f"{pc}="):
-                bucket = name.split("=", 1)[1]
-                if bucket not in done:
-                    shutil.rmtree(os.path.join(self.out_dir, name))
 
         remaining = df
         if done:
@@ -114,41 +185,44 @@ class ResumableWriter:
             if not counts:
                 return {"written": 0, "skipped": skipped, "attempt": attempt, "rows": 0}
 
+            before = self._data_files()
             (
                 remaining.write.mode("append")
                 .partitionBy(pc)
                 .parquet(self.out_dir)
             )
+            new_files = self._data_files() - before
         finally:
             remaining.unpersist()
         wall = time.time() - t0
 
+        files_by_bucket: dict[str, list[str]] = {str(b): [] for b in counts}
+        for f in sorted(new_files):
+            head = f.split("/", 1)[0]
+            if head.startswith(f"{pc}="):
+                files_by_bucket.setdefault(head.split("=", 1)[1], []).append(f)
+
         now = time.time()
-        records = [
-            {
-                "bucket": str(b),
-                "rows": int(n),
-                "attempt": attempt,
-                "completed_at": now,
-                "wall_sec_total": round(wall, 3),
-                "lineage": self.lineage,
-            }
-            for b, n in sorted(counts.items())
-        ]
-        self._append_records(MANIFEST, records)
-        self._append_records(
-            METRICS,
-            [
-                {
-                    "attempt": attempt,
-                    "buckets_written": len(counts),
-                    "buckets_skipped": skipped,
-                    "rows": int(sum(counts.values())),
-                    "wall_sec": round(wall, 3),
-                    "rows_per_sec": round(sum(counts.values()) / max(wall, 1e-9), 1),
-                    "finished_at": now,
-                }
-            ],
+        commit = {
+            "attempt": attempt,
+            "completed_at": now,
+            "buckets": sorted(str(b) for b in counts),
+            "files": files_by_bucket,
+            "rows_per_bucket": {str(b): int(n) for b, n in counts.items()},
+            "lineage": self.lineage,
+            "metrics": {
+                "buckets_written": len(counts),
+                "buckets_skipped": skipped,
+                "rows": int(sum(counts.values())),
+                "wall_sec": round(wall, 3),
+                "rows_per_sec": round(sum(counts.values()) / max(wall, 1e-9), 1),
+                "finished_at": now,
+            },
+        }
+        # publication point: ONE create-new write makes the attempt visible
+        self.fs.write_new(
+            os.path.join(self._commits_dir(), f"commit-{now:017.6f}-{attempt}.json"),
+            json.dumps(commit),
         )
         return {
             "written": len(counts),
@@ -158,9 +232,53 @@ class ResumableWriter:
             "wall_sec": round(wall, 3),
         }
 
+    # -- read / maintain -----------------------------------------------------
+    def read(self, spark) -> DataFrame:
+        """Reconciled read: exactly the committed files, first-commit-wins
+        per bucket — stray files from crashed or losing attempts are
+        invisible. basePath keeps the partition column in the schema."""
+        win = self._bucket_files()
+        paths = [
+            os.path.join(self.out_dir, f) for files in win.values() for f in files
+        ]
+        if not paths:
+            raise FileNotFoundError(f"no committed data under {self.out_dir}")
+        return spark.read.option("basePath", self.out_dir).parquet(*paths)
+
+    def vacuum(self) -> list[str]:
+        """Delete data files no commit references (list + delete only).
+        Returns the deleted relative paths."""
+        referenced = {
+            f for files in self._bucket_files().values() for f in files
+        }
+        stray = sorted(self._data_files() - referenced)
+        for f in stray:
+            self.fs.delete(os.path.join(self.out_dir, f))
+        return stray
+
     def metrics(self) -> list[dict]:
-        path = os.path.join(self.out_dir, METRICS)
-        if not os.path.exists(path):
-            return []
-        with open(path) as f:
-            return [json.loads(line) for line in f if line.strip()]
+        """Per-attempt metrics, one dict per committed attempt."""
+        return [
+            {"attempt": c["attempt"], **c["metrics"]} for c in self.commits()
+        ]
+
+    def manifest_records(self) -> list[dict]:
+        """Flat per-bucket records across commits (winning commit per
+        bucket) — the shape the old jsonl manifest exposed."""
+        recs = []
+        seen: set[str] = set()
+        for c in self.commits():
+            for b in c["buckets"]:
+                if b in seen:
+                    continue
+                seen.add(b)
+                recs.append(
+                    {
+                        "bucket": b,
+                        "rows": c["rows_per_bucket"][b],
+                        "attempt": c["attempt"],
+                        "completed_at": c["completed_at"],
+                        "lineage": c["lineage"],
+                    }
+                )
+        return recs

@@ -13,6 +13,7 @@ from openeo_geotrellis_extensions_spark.operators.spatial_join import (
 )
 from openeo_geotrellis_extensions_spark.runtime.checkpoint import (
     MANIFEST,
+    LocalFS,
     ResumableWriter,
 )
 from openeo_geotrellis_extensions_spark.runtime.skew import (
@@ -84,42 +85,99 @@ def test_salted_agg_matches_plain(spark, docs_cells):
     assert plain == salted
 
 
+class NoRenameFS(LocalFS):
+    """LocalFS that additionally FORBIDS rename at the os level while any of
+    its methods run — proving the commit-log machinery is object-store-safe
+    (S3 has no atomic rename; publishing must be a single create-new PUT)."""
+
+    def __getattribute__(self, name):
+        attr = super().__getattribute__(name)
+        if not callable(attr) or name.startswith("__"):
+            return attr
+
+        def guarded(*a, **kw):
+            import os as _os
+            import shutil as _sh
+
+            saved = (_os.replace, _os.rename, _sh.move)
+
+            def _boom(*_a, **_kw):  # pragma: no cover - only on regression
+                raise AssertionError("rename used in commit-log path")
+
+            _os.replace = _os.rename = _sh.move = _boom
+            try:
+                return attr(*a, **kw)
+            finally:
+                _os.replace, _os.rename, _sh.move = saved
+
+        return guarded
+
+
 def test_resumable_writer_full_and_resume(spark, docs_cells, tmp_path):
     out = str(tmp_path / "run1")
-    w = ResumableWriter(out, lineage={"source": "synth_docs(500)", "stage": "cells"})
+    w = ResumableWriter(
+        out,
+        lineage={"source": "synth_docs(500)", "stage": "cells"},
+        fs=NoRenameFS(),
+    )
     s1 = w.run(docs_cells)
     assert s1["written"] > 0 and s1["skipped"] == 0
-    total = spark.read.parquet(out).count()
-    assert total == 500
+    assert spark.read.parquet(out).count() == 500  # clean dir: plain read OK
+    assert w.read(spark).count() == 500  # reconciled read agrees
 
     # re-run: everything skipped, nothing rewritten, data unchanged
-    s2 = ResumableWriter(out).run(docs_cells)
+    s2 = ResumableWriter(out, fs=NoRenameFS()).run(docs_cells)
     assert s2["written"] == 0 and s2["skipped"] == s1["written"]
     assert spark.read.parquet(out).count() == 500
 
 
 def test_resumable_writer_crash_recovery(spark, docs_cells, tmp_path):
+    """Crash model for a commit log: an attempt that wrote data files but
+    DIED before publishing its commit file. Its stray files must be
+    invisible to the reconciled read, its buckets recomputed on resume, and
+    no rename may be needed anywhere (NoRenameFS)."""
     out = str(tmp_path / "run2")
-    w = ResumableWriter(out)
+    w = ResumableWriter(out, fs=NoRenameFS())
     s1 = w.run(docs_cells)
+    cdir = os.path.join(out, MANIFEST)
+    (commit_file,) = [f for f in os.listdir(cdir) if f.startswith("commit-")]
 
-    # simulate a crash: drop 2 buckets from the manifest AND corrupt one of
-    # their directories (partial write)
-    mpath = os.path.join(out, MANIFEST)
-    lines = [json.loads(line) for line in open(mpath) if line.strip()]
-    assert len(lines) == s1["written"]
-    victims = [lines[0]["bucket"], lines[1]["bucket"]]
-    keep = [l for l in lines if l["bucket"] not in victims]
-    with open(mpath, "w") as f:
-        for l in keep:
-            f.write(json.dumps(l) + "\n")
-    shutil.rmtree(os.path.join(out, f"bucket={victims[0]}"))  # lost entirely
-    # victims[1] dir still exists but is un-manifested -> treated as partial
+    # simulate the crashed attempt by deleting its commit file: all its data
+    # files become stray (exactly what a die-before-publish leaves behind)
+    os.remove(os.path.join(cdir, commit_file))
+    assert ResumableWriter(out).completed_buckets() == set()
 
+    w2 = ResumableWriter(out, fs=NoRenameFS())
+    s2 = w2.run(docs_cells)
+    assert s2["written"] == s1["written"] and s2["skipped"] == 0
+    # plain directory read sees the stray duplicates; the reconciled read
+    # must not (this is the reconciliation actually paying off)
+    assert spark.read.parquet(out).count() == 1000
+    assert w2.read(spark).count() == 500  # no dupes, no gaps
+    assert w2.read(spark).select("doc_id").distinct().count() == 500
+    # vacuum removes exactly the stray files; plain read then agrees
+    stray = w2.vacuum()
+    assert stray
+    assert spark.read.parquet(out).count() == 500
+    assert len(ResumableWriter(out).metrics()) == 1  # only the committed attempt
+
+
+def test_resumable_writer_partial_resume_reconciles(spark, docs_cells, tmp_path):
+    """Resume after losing SOME commits: only missing buckets recompute, and
+    first-commit-wins reconciliation keeps exactly one copy per bucket."""
+    out = str(tmp_path / "run2b")
+    some_buckets = [
+        r.bucket for r in docs_cells.select("bucket").distinct().limit(3).collect()
+    ]
+    half = docs_cells.where(F.col("bucket").isin(some_buckets))
+    w = ResumableWriter(out)
+    s1 = w.run(half)
+    assert s1["written"] > 0
     s2 = ResumableWriter(out).run(docs_cells)
-    assert s2["written"] == 2 and s2["skipped"] == len(keep)
-    assert spark.read.parquet(out).count() == 500  # no dupes, no gaps
-    # metrics recorded for both attempts
+    assert s2["skipped"] == s1["written"] and s2["written"] > 0
+    got = ResumableWriter(out).read(spark)
+    assert got.count() == 500
+    assert got.select("doc_id").distinct().count() == 500
     assert len(ResumableWriter(out).metrics()) == 2
 
 
@@ -127,11 +185,16 @@ def test_manifest_lineage_and_metrics_fields(spark, docs_cells, tmp_path):
     out = str(tmp_path / "run3")
     w = ResumableWriter(out, lineage={"source": "docs", "transform": "cells@res3"})
     w.run(docs_cells)
-    recs = [json.loads(line) for line in open(os.path.join(out, MANIFEST))]
+    recs = ResumableWriter(out).manifest_records()
+    assert recs
     assert all(
         r["lineage"]["transform"] == "cells@res3" and r["rows"] > 0 and r["attempt"]
         for r in recs
     )
+    # every committed bucket names its data files in the commit
+    (commit,) = ResumableWriter(out).commits()
+    assert set(commit["files"]) == set(commit["buckets"])
+    assert all(files for files in commit["files"].values())
     m = w.metrics()[0]
     assert m["rows"] == 500 and m["rows_per_sec"] > 0
 
