@@ -26,9 +26,32 @@ def _chunk(tag: bytes, payload: bytes) -> bytes:
     )
 
 
-def encode_png_bytes(img: np.ndarray) -> bytes:
+#: Adam7 interlace pass grid: (x_start, y_start, x_step, y_step)
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
+def _adam7_pass_dims(w: int, h: int) -> list[tuple[int, int, int, int, int, int]]:
+    """Non-empty Adam7 passes as (x0, y0, dx, dy, pass_w, pass_h)."""
+    out = []
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw > 0 and ph > 0:
+            out.append((x0, y0, dx, dy, pw, ph))
+    return out
+
+
+def encode_png_bytes(img: np.ndarray, interlace: bool = False) -> bytes:
     """Encode (h, w) grayscale or (h, w, 3) RGB uint8 -> PNG bytes
-    (8-bit, filter type 0 per scanline)."""
+    (8-bit, filter type 0 per scanline; Adam7 interlaced when asked)."""
     if img.ndim == 2:
         color_type = 0
         data = img[:, :, None]
@@ -36,10 +59,17 @@ def encode_png_bytes(img: np.ndarray) -> bytes:
         color_type = 2
         data = img
     h, w = data.shape[:2]
-    raw = b"".join(
-        b"\x00" + data[y].astype(np.uint8).tobytes() for y in range(h)
-    )
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    if interlace:
+        raw = b"".join(
+            b"\x00" + data[y0 + py * dy, x0::dx].astype(np.uint8).tobytes()
+            for x0, y0, dx, dy, _pw, ph in _adam7_pass_dims(w, h)
+            for py in range(ph)
+        )
+    else:
+        raw = b"".join(
+            b"\x00" + data[y].astype(np.uint8).tobytes() for y in range(h)
+        )
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, int(interlace))
     return (
         b"\x89PNG\r\n\x1a\n"
         + _chunk(b"IHDR", ihdr)
@@ -85,13 +115,30 @@ def decode_png_bytes(buf: bytes) -> np.ndarray:
         elif tag == b"IEND":
             break
         pos += 12 + ln
-    if bitd != 8 or ctype not in (0, 2) or interlace:
+    if bitd != 8 or ctype not in (0, 2) or interlace not in (0, 1):
         raise NotImplementedError(
             f"PNG bit depth {bitd} / color type {ctype} / interlace {interlace} "
-            "unsupported (8-bit gray/RGB, non-interlaced only)"
+            "unsupported (8-bit gray/RGB only)"
         )
     nch = 1 if ctype == 0 else 3
     raw = zlib.decompress(idat)
+    if interlace:  # Adam7: each pass is an independently-filtered sub-image
+        img = np.zeros((h, w, nch), dtype=np.uint8)
+        pos = 0
+        for x0, y0, dx, dy, pw, ph in _adam7_pass_dims(w, h):
+            span = ph * (pw * nch + 1)
+            sub = _unfilter(raw[pos : pos + span], pw, ph, nch)
+            pos += span
+            img[y0::dy, x0::dx] = sub.reshape(ph, pw, nch)
+        return img[:, :, 0] if nch == 1 else img
+    out = _unfilter(raw, w, h, nch)
+    img = out.reshape(h, w, nch)
+    return img[:, :, 0] if nch == 1 else img
+
+
+def _unfilter(raw: bytes, w: int, h: int, nch: int) -> np.ndarray:
+    """Undo per-scanline filtering over a (1+stride)*h byte region ->
+    (h, w*nch) uint8 (types 0 None / 1 Sub / 2 Up / 3 Average / 4 Paeth)."""
     stride = w * nch
     out = np.zeros((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.int64)
@@ -123,8 +170,7 @@ def decode_png_bytes(buf: bytes) -> np.ndarray:
             raise ValueError(f"bad PNG filter type {f}")
         out[y] = cur
         prev = cur
-    img = out.reshape(h, w, nch)
-    return img[:, :, 0] if nch == 1 else img
+    return out
 
 
 def read_png(path: str) -> np.ndarray:
