@@ -228,6 +228,60 @@ def _assign_udf(C: np.ndarray):
     return _assign
 
 
+def coarse_of_coarse(C: np.ndarray, n_coarse: int, iters: int = 3):
+    """Driver-side deterministic Lloyd over the (n_lists, dim) fine-centroid
+    matrix -> ((n_coarse, dim) coarse centroids, (n_lists,) group ids).
+    Strided seeds + fixed iterations + the shared exact-integer score, so the
+    hierarchy is reproducible. This is the second quantizer level that makes
+    10^7-list IVF probes tractable: a probe scores n_coarse + w*avg_group
+    centroids instead of all n_lists. O(n_lists * dim) work, all driver-side
+    numpy — the same data volume ivf_centroids_det already collects."""
+    n_lists = C.shape[0]
+    n_coarse = max(1, min(n_coarse, n_lists))
+    stride = max(1, n_lists // n_coarse)
+    Cc = C[::stride][:n_coarse].astype(np.float64).copy()
+    for _ in range(iters):
+        g = np.argmax(_list_score_matrix(C, Cc), axis=1)
+        for j in range(Cc.shape[0]):
+            m = C[g == j]
+            if len(m):
+                Cc[j] = np.floor(m.mean(axis=0))
+    group_of = np.argmax(_list_score_matrix(C, Cc), axis=1).astype(np.int32)
+    return Cc, group_of
+
+
+def _probe_two_level_udf(
+    C: np.ndarray,
+    Cc: np.ndarray,
+    group_of: np.ndarray,
+    n_probe: int,
+    coarse_probe: int,
+):
+    """Arrow UDF: embedding -> n_probe fine list ids via the two-level
+    hierarchy (top coarse_probe coarse groups, then score only their member
+    fine centroids). Tie order matches the flat probe: score desc, list asc."""
+    n_coarse = Cc.shape[0]
+    members = [np.where(group_of == j)[0] for j in range(n_coarse)]
+    empty = np.array([j for j in range(n_coarse) if members[j].size == 0], dtype=int)
+
+    @pandas_udf("array<int>")
+    def _probe(v: pd.Series) -> pd.Series:
+        Q = _quantize_rows(v)
+        Sc = _list_score_matrix(Q, Cc)
+        if empty.size:
+            Sc[:, empty] = -np.inf  # never probe memberless groups
+        topg = np.argsort(-Sc, axis=1, kind="stable")[:, :coarse_probe]
+        out = []
+        for i in range(Q.shape[0]):
+            cand = np.concatenate([members[j] for j in topg[i]])
+            s = _list_score_matrix(Q[i : i + 1], C[cand])[0]
+            order = np.lexsort((cand, -s))[:n_probe]  # score desc, list asc
+            out.append(cand[order].astype(np.int32))
+        return pd.Series(out)
+
+    return _probe
+
+
 def ivf_topk_det(
     emb: DataFrame,
     k: int = 3,
@@ -236,6 +290,9 @@ def ivf_topk_det(
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    two_level: bool = False,
+    n_coarse: int | None = None,
+    coarse_probe: int = 2,
 ) -> DataFrame:
     """IVF ANN with the deterministic coarse quantizer (ivf_centroids_det):
     every vector is assigned to its nearest final centroid; every query
@@ -246,16 +303,34 @@ def ivf_topk_det(
     10^12 rows, size n_lists ~ sqrt(n)/probe-budget (ivf_params_for) so each
     list stays shuffle-partition-sized; here fixtures use small params the
     DuckDB oracle mirrors stage for stage. -> (query_id, neighbor_id,
-    cosine, rank)."""
+    cosine, rank).
+
+    ``two_level=True`` switches probing to the hierarchical quantizer
+    (coarse_of_coarse): a probe scores n_coarse coarse centroids, then only
+    the fine centroids inside its ``coarse_probe`` best groups — the IMI /
+    IVF-of-IVF pattern that keeps 10^7-list probes O(sqrt(n_lists)) per
+    vector. Assignment stays exact (flat argmax over C: one matmul, cheap
+    relative to the probe fan-out) so two_level with coarse_probe >= n_coarse
+    is IDENTICAL to the flat path; both levels ship to executors as the same
+    broadcast closure, and the candidate join is still the one equi-join on
+    list_id."""
     C = ivf_centroids_det(emb, n_lists, iters, id_col, vec_col)
 
-    @pandas_udf("array<int>")
-    def _probe(v: pd.Series) -> pd.Series:
-        S = _list_score_matrix(_quantize_rows(v), C)
-        # stable argsort on -S: ties keep ascending list_id, matching the
-        # oracle's ORDER BY score DESC, list_id ASC
-        order = np.argsort(-S, axis=1, kind="stable")[:, :n_probe].astype(np.int32)
-        return pd.Series(list(order))
+    if two_level:
+        nc = n_coarse or max(1, int(np.ceil(np.sqrt(n_lists))))
+        Cc, group_of = coarse_of_coarse(C, nc)
+        _probe = _probe_two_level_udf(C, Cc, group_of, n_probe, coarse_probe)
+    else:
+
+        @pandas_udf("array<int>")
+        def _probe(v: pd.Series) -> pd.Series:
+            S = _list_score_matrix(_quantize_rows(v), C)
+            # stable argsort on -S: ties keep ascending list_id, matching the
+            # oracle's ORDER BY score DESC, list_id ASC
+            order = np.argsort(-S, axis=1, kind="stable")[:, :n_probe].astype(
+                np.int32
+            )
+            return pd.Series(list(order))
 
     assigned = emb.select(
         F.col(id_col).alias("neighbor_id"),
@@ -284,15 +359,22 @@ def ivf_params_for(n_rows: int, target_list_rows: int = 100_000) -> dict:
     inverted list one healthy shuffle partition (the candidate equi-join on
     list_id then never builds an oversized group); n_probe trades recall for
     candidate volume. At 10^12 rows / 100k-target that is 10^7 lists —
-    centroid matrices that large move to a broadcast variable + hierarchical
-    (two-level) probe, which this sandbox-scale build documents but does not
-    need."""
+    flat probing would score 10^7 centroids per vector, so above
+    ``two_level_above`` lists the returned params switch on the hierarchical
+    probe (ivf_topk_det(two_level=True), n_coarse ~ sqrt(n_lists)): a probe
+    then scores ~2*sqrt(n_lists) centroids per vector."""
     import math
 
     by_list_size = math.ceil(n_rows / max(1, target_list_rows))
     by_sqrt = int(math.sqrt(max(4, n_rows)))
     n_lists = max(2, min(by_sqrt, max(2, by_list_size)))
-    return {"n_lists": n_lists, "n_probe": max(2, n_lists // 8)}
+    two_level_above = 4096
+    p = {"n_lists": n_lists, "n_probe": max(2, n_lists // 8)}
+    if n_lists > two_level_above:
+        p["two_level"] = True
+        p["n_coarse"] = max(2, int(math.isqrt(n_lists)))
+        p["coarse_probe"] = 2
+    return p
 
 
 def hyperplane_buckets(

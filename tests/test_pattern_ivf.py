@@ -96,6 +96,59 @@ def test_ivf_det_recall_vs_bruteforce(spark):
     assert approx == approx2
 
 
+def test_ivf_two_level_probe(spark):
+    """Hierarchical (coarse-of-coarse) probe: (a) probing ALL coarse groups
+    reproduces the flat path exactly; (b) a real 2-of-sqrt probe keeps a
+    recall floor vs exact; (c) the plan stays equi-join only — no cartesian
+    or nested-loop join anywhere."""
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").cache()
+
+    flat = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in ivf_topk_det(emb, k=3, n_lists=9, n_probe=2, iters=2).collect()
+    }
+    # coarse_probe >= n_coarse => candidate set is every list => identical
+    full = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in ivf_topk_det(
+            emb, k=3, n_lists=9, n_probe=2, iters=2,
+            two_level=True, n_coarse=3, coarse_probe=3,
+        ).collect()
+    }
+    assert full == flat
+
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk_bruteforce(emb, k=3).collect()
+    }
+    df = ivf_topk_det(
+        emb, k=3, n_lists=9, n_probe=2, iters=2,
+        two_level=True, n_coarse=3, coarse_probe=2,
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    approx = {(r.query_id, r.neighbor_id) for r in df.collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.3, f"two-level IVF recall {recall:.2f}"
+    # deterministic across runs
+    again = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk_det(
+            emb, k=3, n_lists=9, n_probe=2, iters=2,
+            two_level=True, n_coarse=3, coarse_probe=2,
+        ).collect()
+    }
+    assert approx == again
+
+
+def test_ivf_params_switch_to_two_level():
+    """Web-scale corpora get hierarchical-probe params; small ones stay flat."""
+    big = ivf_params_for(10**12)
+    assert big["two_level"] and big["n_coarse"] >= 1000
+    assert "two_level" not in ivf_params_for(500)
+
+
 def test_bruteforce_query_guard(spark):
     """cosine_topk_bruteforce refuses oversized query sides (the O(n*q)
     theta-join is an exact-rerank primitive, not a scale path)."""
