@@ -154,6 +154,139 @@ def _bench_subprocess(cpus: int, n_docs: int) -> dict[str, float]:
     raise RuntimeError(f"bench subprocess failed: {out.stderr[-2000:]}")
 
 
+def zorder_ab() -> dict:
+    """A/B: does Z-order clustering in the checkpoint writer pay at read
+    time? Writes the same (c, r, payload) dataset twice via ResumableWriter
+    — order_by=zindex vs unordered — with small parquet row groups (the
+    100 TB shape: many row groups per file), then runs an identical
+    (c, r) window range-scan on both. Reports the stats-prunable row-group
+    fraction (parquet footer min/max vs the predicate, what any
+    stats-pruning scan engine skips) and the Spark wall time."""
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from openeo_geotrellis_extensions_spark.operators.spatial_join import zindex_col
+    from openeo_geotrellis_extensions_spark.runtime.checkpoint import ResumableWriter
+
+    spark = build_spark(CPUS)
+    # small row groups => many groups per bucket file, the 100 TB shape
+    # (must go on the Hadoop conf: session conf is ignored by the writer)
+    spark.sparkContext._jsc.hadoopConfiguration().set(
+        "parquet.block.size", str(256 * 1024)
+    )
+    base = tempfile.mkdtemp(prefix="bench_zorder_")
+    try:
+        n = 4_000_000
+        df = (
+            spark.range(n)
+            .select(
+                (F.pmod(F.xxhash64("id"), F.lit(4096))).cast("int").alias("c"),
+                (F.pmod(F.xxhash64("id", F.lit(1)), F.lit(4096))).cast("int").alias("r"),
+                F.col("id").alias("payload"),
+            )
+            .withColumn("z", zindex_col(F.col("c"), F.col("r")))
+            .withColumn(
+                "bucket", F.pmod(F.xxhash64("payload", F.lit(2)), F.lit(8)).cast("string")
+            )
+        )
+        outs = {}
+        for name, order in [("zordered", ("z",)), ("unordered", ())]:
+            out = f"{base}/{name}"
+            ResumableWriter(out, order_by=order).run(df)
+            outs[name] = out
+
+        # predicate: a 256x256 window = (1/16)^2 of the key space
+        lo, hi = 1024, 1279
+        pred = (
+            f"c BETWEEN {lo} AND {hi} AND r BETWEEN {lo} AND {hi}"
+        )
+        report = {}
+        for name, out in outs.items():
+            groups = total = 0
+            for root, _d, files in os.walk(out):
+                for fn in files:
+                    if not fn.endswith(".parquet"):
+                        continue
+                    md = pq.ParquetFile(os.path.join(root, fn)).metadata
+                    idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+                    for g in range(md.num_row_groups):
+                        rg = md.row_group(g)
+                        total += 1
+                        sc = rg.column(idx["c"]).statistics
+                        sr = rg.column(idx["r"]).statistics
+                        if sc.max < lo or sc.min > hi or sr.max < lo or sr.min > hi:
+                            groups += 1  # prunable by stats
+            # warm + timed scan
+            q = lambda: spark.read.parquet(out).where(pred).agg(  # noqa: E731
+                F.count("*"), F.sum("payload")
+            ).collect()
+            q()
+            t0 = time.time()
+            for _ in range(3):
+                q()
+            report[name] = {
+                "row_groups": total,
+                "prunable": groups,
+                "prunable_frac": round(groups / max(1, total), 4),
+                "scan_sec_3x": round(time.time() - t0, 3),
+            }
+        return report
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+        spark.stop()
+
+
+def skew_ab() -> dict:
+    """A/B: salting under a pathological hot cell (90% of rows in ONE cell).
+    Identical input written via ResumableWriter with bucket=cell (unsalted:
+    one task carries 90% of the write) vs bucket=cell_salt (with_salt
+    spreads the hot cell). Reports wall seconds for each."""
+    import shutil
+    import tempfile
+
+    from openeo_geotrellis_extensions_spark.runtime.checkpoint import ResumableWriter
+    from openeo_geotrellis_extensions_spark.runtime.skew import with_salt
+
+    spark = build_spark(CPUS)
+    base = tempfile.mkdtemp(prefix="bench_skew_")
+    try:
+        n = 4_000_000
+        # 90% of rows land in cell 0; the rest spread over 63 cold cells
+        df = spark.range(n).select(
+            F.col("id").cast("string").alias("doc_id"),
+            F.when(F.pmod(F.xxhash64("id"), F.lit(10)) < 9, F.lit(0))
+            .otherwise(F.pmod(F.xxhash64("id", F.lit(1)), F.lit(63)) + 1)
+            .cast("int")
+            .alias("cell"),
+            F.sha2(F.col("id").cast("string"), 256).alias("payload"),
+        )
+        report = {}
+        for name in ["unsalted", "salted"]:
+            if name == "salted":
+                d = with_salt(df, "cell", "doc_id", target_rows_per_salt=150_000)
+                d = d.withColumn(
+                    "bucket", F.concat_ws("_", F.col("cell"), F.col("salt"))
+                )
+            else:
+                d = df.withColumn("bucket", F.col("cell").cast("string"))
+            out = f"{base}/{name}"
+            t0 = time.time()
+            s = ResumableWriter(out).run(d)
+            report[name] = {
+                "wall_sec": round(time.time() - t0, 3),
+                "buckets": s["written"],
+            }
+        report["speedup"] = round(
+            report["unsalted"]["wall_sec"] / report["salted"]["wall_sec"], 2
+        )
+        return report
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+        spark.stop()
+
+
 def main() -> None:
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     import duckdb
@@ -163,6 +296,12 @@ def main() -> None:
     ).fetchone()[0]
     n_docs = n_rows * DOCS_MULTIPLIER
 
+    if "--zorder-ab" in sys.argv:
+        print(json.dumps({"zorder_ab": zorder_ab()}))
+        return
+    if "--skew-ab" in sys.argv:
+        print(json.dumps({"skew_ab": skew_ab()}))
+        return
     if "--scaling" in sys.argv:
         lo = int(os.environ.get("SPARK_GRAFT_SCALE_LO", "2"))
         hi = int(os.environ.get("SPARK_GRAFT_SCALE_HI", "8"))
