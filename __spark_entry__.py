@@ -2036,6 +2036,27 @@ def _oracle_catboost_predict() -> str:
 _IVF_LISTS, _IVF_PROBE, _IVF_ITERS, _IVF_K, _IVF_DIM = 8, 2, 2, 3, 64
 
 
+def _q_ivf_ann_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level (coarse-of-coarse) IVF probe, driver-gated through the SAME
+    oracle as the flat path: with coarse_probe == n_coarse every coarse group
+    is probed, so the hierarchical candidate set provably equals the flat
+    one (tested in test_pattern_ivf.py) while the query still executes the
+    hierarchical code path end-to-end (driver-side Lloyd over centroids,
+    per-group member scoring, ragged candidate top-n_probe)."""
+    from openeo_geotrellis_extensions_spark.pipeline.similarity import ivf_topk_det
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ivf_topk_det(
+        emb, k=_IVF_K, n_lists=_IVF_LISTS, n_probe=_IVF_PROBE, iters=_IVF_ITERS,
+        two_level=True, n_coarse=3, coarse_probe=3,
+    ).select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("neighbor_id").cast("long").alias("neighbor_id"),
+        "cosine",
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
 def _q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN, FULLY oracle-checked: the coarse quantizer is deterministic
     and SQL-mirrorable (md5-ordered seeds + a fixed number of Lloyd
@@ -2827,6 +2848,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_spatial_join": _q_stream_spatial_join,
         "stream_dedup_stateful": _q_stream_dedup,
         "resample_laea": _q_resample_laea,
+        "ivf_ann_hier": _q_ivf_ann_hier,
         "doc_cells": _q_doc_cells,
         "spatial_join": _q_spatial_join,
         "zonal_stats_const": _q_zonal_const,
@@ -2927,6 +2949,7 @@ def oracle_sql() -> dict[str, str]:
         "lsh_ann": _oracle_lsh_ann(),
         "catboost_predict": _oracle_catboost_predict(),
         "ivf_ann": _oracle_ivf_ann(),
+        "ivf_ann_hier": _oracle_ivf_ann(),
         "load_collection": _oracle_load_collection(),
         "load_stac": _oracle_load_stac(),
         "sampled_features": _oracle_sampled_features(),
