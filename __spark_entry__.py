@@ -854,6 +854,74 @@ def _oracle_resample_laea() -> str:
     """
 
 
+def _q_resample_polar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polar-grid warp (EPSG:3031 Antarctic Polar Stereographic, variant B):
+    the remaining widely-used CRS family (NSIDC/Antarctic datasets).
+    Arithmetic cube on DIGEST_LAYOUT (EPSG:4326) reprojected onto the
+    snapped EPSG:3031 layout; the oracle regenerates every target pixel
+    through the same closed-form inverse (Snyder 21-39/7-9 + the shared
+    WGS84 conformal->geodetic series) with identical literal coefficients."""
+    from openeo_geotrellis_extensions_spark.core.proj import utm_layout_for
+    from openeo_geotrellis_extensions_spark.operators.resample import (
+        resample_spatial,
+    )
+
+    cube = arithmetic_cube(spark, DIGEST_LAYOUT, n_bands=1, cell_type="float64")
+    target = utm_layout_for(DIGEST_LAYOUT, resolution=18000.0, dst_crs="EPSG:3031")
+    assert target.crs == "EPSG:3031"
+    return cube_digest(resample_spatial(cube, target))
+
+
+def _oracle_resample_polar() -> str:
+    """Inverse south polar stereographic in SQL: rho -> t -> chi -> the
+    conformal-to-geodetic series; lon = atan2(xp, yp). Constants emitted as
+    the repr() of the numpy doubles the engine uses (CAST to DOUBLE to keep
+    DuckDB out of DECIMAL arithmetic)."""
+    from openeo_geotrellis_extensions_spark.core import proj as P
+
+    target = P.utm_layout_for(DIGEST_LAYOUT, resolution=18000.0, dst_crs="EPSG:3031")
+    south, rf, lon0, x0, y0 = P._ps_consts("EPSG:3031")
+    assert south and lon0 == 0.0 and x0 == 0.0 and y0 == 0.0
+    c1, c2, c3, c4 = P._CHI_C
+    res = 18000.0
+    src = f"""
+        SELECT dd.date, t.c, t.r, 0 AS band,
+               CASE WHEN (gx % 8 + gy % 8 + gx // 8 + gy // 8 + dd.di) % 13 = 0
+                    THEN NULL
+                    ELSE CAST(((gx % 8) * 3 + (gy % 8) * 5 + (gx // 8) * 13
+                               + (gy // 8) * 7 + dd.di * 11) % 97 AS DOUBLE)
+               END AS v
+        FROM dates dd, utiles t, upx px, upy py,
+        LATERAL (SELECT CAST({rf!r} AS DOUBLE) AS rf) k,
+        LATERAL (SELECT
+            (CAST({target.extent.xmin!r} AS DOUBLE)
+               + (t.c * 8 + px.px + 0.5) * CAST({res!r} AS DOUBLE)) AS xp,
+            (CAST({target.extent.ymax!r} AS DOUBLE)
+               - (t.r * 8 + py.py + 0.5) * CAST({res!r} AS DOUBLE)) AS yp
+        ) s0,
+        LATERAL (SELECT sqrt(s0.xp * s0.xp + s0.yp * s0.yp) / k.rf AS tt) s1,
+        LATERAL (SELECT pi() / 2.0 - 2.0 * atan(s1.tt) AS chi) s2,
+        LATERAL (SELECT s2.chi + CAST({c1!r} AS DOUBLE) * sin(2.0 * s2.chi)
+                               + CAST({c2!r} AS DOUBLE) * sin(4.0 * s2.chi)
+                               + CAST({c3!r} AS DOUBLE) * sin(6.0 * s2.chi)
+                               + CAST({c4!r} AS DOUBLE) * sin(8.0 * s2.chi) AS phin) s3,
+        LATERAL (SELECT degrees(atan2(s0.xp, s0.yp)) AS lon,
+                        -degrees(s3.phin) AS lat) s4,
+        LATERAL (SELECT CAST(floor(s4.lon / 0.125) AS INT) AS gx,
+                        CAST(floor((2.0 - s4.lat) / 0.125) AS INT) AS gy) g
+        WHERE gx >= 0 AND gx < 16 AND gy >= 0 AND gy < 16
+    """
+    return f"""
+        WITH {_digest_base_cte()},
+        utiles AS (SELECT CAST(c AS INT) AS c, CAST(r AS INT) AS r
+                   FROM generate_series(0, {target.layout_cols - 1}) t1(c),
+                        generate_series(0, {target.layout_rows - 1}) t2(r)),
+        upx AS (SELECT CAST(px AS INT) AS px FROM generate_series(0, 7) t(px)),
+        upy AS (SELECT CAST(py AS INT) AS py FROM generate_series(0, 7) t(py))
+        {_digest_tail(src)}
+    """
+
+
 #: 2x-downscale target for the bilinear method query (same extent, 1 tile)
 _DOWN2_LAYOUT = LayoutDefinition(_Extent(0.0, 0.0, 2.0, 2.0), 1, 1, 8, 8)
 
@@ -2849,6 +2917,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup_stateful": _q_stream_dedup,
         "resample_laea": _q_resample_laea,
         "ivf_ann_hier": _q_ivf_ann_hier,
+        "resample_polar": _q_resample_polar,
         "doc_cells": _q_doc_cells,
         "spatial_join": _q_spatial_join,
         "zonal_stats_const": _q_zonal_const,
@@ -2922,6 +2991,7 @@ def oracle_sql() -> dict[str, str]:
         "resample_bilinear": _oracle_resample_bilinear(),
         "resample_utm": _oracle_resample_utm(),
         "resample_laea": _oracle_resample_laea(),
+        "resample_polar": _oracle_resample_polar(),
         "load_netcdf": _oracle_load_netcdf(),
         "load_geotiff": _oracle_load_geotiff(),
         "apply_kernel": _oracle_apply_kernel(),

@@ -206,6 +206,77 @@ def utm_inverse(zone: int, south: bool):
 
 
 # ---------------------------------------------------------------------------
+# Polar stereographic, variant B (ellipsoidal, WGS84) — EPSG:3031 Antarctic,
+# EPSG:3413 NSIDC Arctic, EPSG:3032 Australian Antarctic.  Snyder pp. 160-162
+# (eqs. 21-33..21-41 / 15-9); the conformal-to-geodetic latitude series
+# _CHI_C (WGS84) is shared with the UTM inverse.
+# ---------------------------------------------------------------------------
+
+#: crs -> (south aspect, true-scale latitude, lon0, false easting, northing)
+_POLAR_STEREO_PARAMS: dict[str, tuple[bool, float, float, float, float]] = {
+    "EPSG:3031": (True, -71.0, 0.0, 0.0, 0.0),
+    "EPSG:3032": (True, -71.0, 70.0, 6000000.0, 6000000.0),
+    "EPSG:3413": (False, 70.0, -45.0, 0.0, 0.0),
+}
+
+
+def _ps_t(phi: np.ndarray) -> np.ndarray:
+    """Snyder 15-9: isometric-latitude exponential for the NORTH aspect."""
+    s = np.sin(phi)
+    return np.tan(np.pi / 4.0 - phi / 2.0) * (
+        (1.0 + _E1 * s) / (1.0 - _E1 * s)
+    ) ** (_E1 / 2.0)
+
+
+def _ps_consts(crs: str) -> tuple[bool, float, float, float, float]:
+    """(south, rho_factor = a*m(|lat_ts|)/t(|lat_ts|), lon0, x0, y0)."""
+    south, lat_ts, lon0, x0, y0 = _POLAR_STEREO_PARAMS[crs]
+    phi_f = np.radians(abs(lat_ts))
+    m_f = float(
+        np.cos(phi_f) / np.sqrt(1.0 - _E2 * np.sin(phi_f) ** 2)
+    )
+    return south, _WGS84_A * m_f / float(_ps_t(np.array(phi_f))), lon0, x0, y0
+
+
+def polar_stereo_forward(crs: str):
+    """(lon_deg, lat_deg) arrays -> (easting, northing) for a registered
+    polar stereographic CRS (variant B: scale true at lat_ts)."""
+    south, rf, lon0, x0, y0 = _ps_consts(crs)
+
+    def fwd(lon: np.ndarray, lat: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        lam = np.radians(np.asarray(lon, dtype=np.float64) - lon0)
+        phi = np.radians(np.asarray(lat, dtype=np.float64))
+        rho = rf * _ps_t(-phi if south else phi)
+        x = x0 + rho * np.sin(lam)
+        y = y0 + (rho * np.cos(lam) if south else -rho * np.cos(lam))
+        return x, y
+
+    return fwd
+
+
+def polar_stereo_inverse(crs: str):
+    """(easting, northing) arrays -> (lon_deg, lat_deg): chi from the
+    inverted t, then the shared WGS84 conformal->geodetic series."""
+    south, rf, lon0, x0, y0 = _ps_consts(crs)
+
+    def inv(e: np.ndarray, n: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        xp = np.asarray(e, dtype=np.float64) - x0
+        yp = np.asarray(n, dtype=np.float64) - y0
+        rho = np.hypot(xp, yp)
+        t = rho / rf
+        chi = np.pi / 2.0 - 2.0 * np.arctan(t)
+        phi = chi.copy()
+        for j, c in enumerate(_CHI_C, start=1):
+            phi += c * np.sin(2 * j * chi)
+        lam = np.arctan2(xp, yp) if south else np.arctan2(xp, -yp)
+        if south:
+            phi = -phi
+        return lon0 + np.degrees(lam), np.degrees(phi)
+
+    return inv
+
+
+# ---------------------------------------------------------------------------
 # Lambert azimuthal equal-area (ellipsoidal, oblique) — EPSG:3035
 # (ETRS89-extended / LAEA Europe, GRS80 ellipsoid).  The reference's own test
 # surface exercises EPSG:3035 (LoadStacPyramidFactoryTest.scala); formulas are
@@ -343,13 +414,22 @@ def point_transform(src_crs: str, dst_crs: str) -> PointFn:
         return laea_inverse(src_crs)
     if src_crs == "EPSG:4326" and dst_crs in _LAEA_PARAMS:
         return laea_forward(dst_crs)
-    # projected <-> projected (UTM/LAEA/3857 in any combination): hop
-    # through the 4326 geodetic hub — but only when BOTH legs resolve, so
-    # unsupported codes still raise instead of recursing.
-    known = ("EPSG:3857",)
-    if (src_utm or src_crs in _LAEA_PARAMS or src_crs in known) and (
-        dst_utm or dst_crs in _LAEA_PARAMS or dst_crs in known
-    ):
+    if src_crs in _POLAR_STEREO_PARAMS and dst_crs == "EPSG:4326":
+        return polar_stereo_inverse(src_crs)
+    if src_crs == "EPSG:4326" and dst_crs in _POLAR_STEREO_PARAMS:
+        return polar_stereo_forward(dst_crs)
+    # projected <-> projected (UTM/LAEA/polar-stereo/3857 in any
+    # combination): hop through the 4326 geodetic hub — but only when BOTH
+    # legs resolve, so unsupported codes still raise instead of recursing.
+    def _hub_ok(crs, utm):
+        return bool(
+            utm
+            or crs in _LAEA_PARAMS
+            or crs in _POLAR_STEREO_PARAMS
+            or crs == "EPSG:3857"
+        )
+
+    if _hub_ok(src_crs, src_utm) and _hub_ok(dst_crs, dst_utm):
         return _compose(
             point_transform(src_crs, "EPSG:4326"),
             point_transform("EPSG:4326", dst_crs),
