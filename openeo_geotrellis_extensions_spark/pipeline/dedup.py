@@ -387,14 +387,18 @@ def connected_components(
                 ),
             )
         )
+        # checkpoint FIRST, then test convergence against the materialized
+        # result — the old order computed new_labels twice per round (once
+        # for the changed-count action, once inside the eager checkpoint)
+        ckpt = new_labels.localCheckpoint(eager=True)  # cut lineage per round
         changed = (
-            new_labels.alias("n")
+            ckpt.alias("n")
             .join(labels.alias("o"), "id")
             .where(F.col("n.component") != F.col("o.component"))
             .limit(1)
             .count()
         )
-        labels = new_labels.localCheckpoint(eager=True)  # cut lineage per round
+        labels = ckpt
         if changed == 0:
             break
     # labels is checkpointed, so the cached edges are no longer reachable —

@@ -156,16 +156,17 @@ def _unfilter(raw: bytes, w: int, h: int, nch: int) -> np.ndarray:
             for i in range(stride):
                 left = cur[i - nch] if i >= nch else 0
                 cur[i] = (line[i] + (left + prev[i]) // 2) & 0xFF
-        elif f in (1, 4):  # Sub / Paeth (sequential left-dependency)
+        elif f == 1:  # Sub: per-channel prefix sum mod 256 (vectorized)
+            cur = line.copy()
+            for ch in range(nch):
+                cur[ch::nch] = np.cumsum(line[ch::nch]) & 0xFF
+        elif f == 4:  # Paeth (sequential left-dependency)
             cur = line.copy()
             for i in range(stride):
                 left = cur[i - nch] if i >= nch else 0
-                if f == 1:
-                    cur[i] = (line[i] + left) & 0xFF
-                else:
-                    up = prev[i]
-                    ul = prev[i - nch] if i >= nch else 0
-                    cur[i] = (line[i] + _paeth(int(left), int(up), int(ul))) & 0xFF
+                up = prev[i]
+                ul = prev[i - nch] if i >= nch else 0
+                cur[i] = (line[i] + _paeth(int(left), int(up), int(ul))) & 0xFF
         else:
             raise ValueError(f"bad PNG filter type {f}")
         out[y] = cur
