@@ -922,6 +922,41 @@ def _oracle_resample_polar() -> str:
     """
 
 
+#: 4x-downscale target for the aggregate (area-average) method query
+_DOWN4_LAYOUT = LayoutDefinition(_Extent(0.0, 0.0, 2.0, 2.0), 1, 1, 4, 4)
+
+
+def _q_resample_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate ResampleMethod (geotrellis Average — openEO's 10m->60m
+    'average' downscale): every target pixel is the mean of the VALID source
+    pixels whose centers fall inside it, computed as composable (sum, count)
+    partials per source tile so blocks spanning tile borders stay exact.
+    The 4x factor distinguishes it from bilinear (which samples only the
+    2x2 neighborhood of the block center)."""
+    from openeo_geotrellis_extensions_spark.operators.resample import (
+        resample_spatial,
+    )
+
+    cube = arithmetic_cube(spark, DIGEST_LAYOUT, n_bands=1, cell_type="float64")
+    return cube_digest(resample_spatial(cube, _DOWN4_LAYOUT, method="average"))
+
+
+def _oracle_resample_average() -> str:
+    src = f"""
+        SELECT date, 0 AS c, 0 AS r, 0 AS band, bv AS v
+        FROM (
+            SELECT d.date,
+                   (t.c * 8 + px.px) // 4 AS bx,
+                   (t.r * 8 + py.py) // 4 AS by,
+                   AVG(CASE WHEN {_NA.format(b=0)} THEN NULL
+                            ELSE CAST({_VA.format(b=0)} AS DOUBLE) END) AS bv
+            FROM dates d, tiles t, px, py
+            GROUP BY d.date, bx, by
+        )
+    """
+    return f"WITH {_digest_base_cte()} {_digest_tail(src)}"
+
+
 #: 2x-downscale target for the bilinear method query (same extent, 1 tile)
 _DOWN2_LAYOUT = LayoutDefinition(_Extent(0.0, 0.0, 2.0, 2.0), 1, 1, 8, 8)
 
@@ -2918,6 +2953,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resample_laea": _q_resample_laea,
         "ivf_ann_hier": _q_ivf_ann_hier,
         "resample_polar": _q_resample_polar,
+        "resample_average": _q_resample_average,
         "doc_cells": _q_doc_cells,
         "spatial_join": _q_spatial_join,
         "zonal_stats_const": _q_zonal_const,
@@ -2992,6 +3028,7 @@ def oracle_sql() -> dict[str, str]:
         "resample_utm": _oracle_resample_utm(),
         "resample_laea": _oracle_resample_laea(),
         "resample_polar": _oracle_resample_polar(),
+        "resample_average": _oracle_resample_average(),
         "load_netcdf": _oracle_load_netcdf(),
         "load_geotiff": _oracle_load_geotiff(),
         "apply_kernel": _oracle_apply_kernel(),

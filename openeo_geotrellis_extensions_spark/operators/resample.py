@@ -50,6 +50,8 @@ def resample_spatial(
     the ignore-nodata convention of the aggregation reducers."""
     from ..core.proj import point_transform, transform_extent
 
+    if method in ("average", "sum", "min", "max"):
+        return _resample_aggregate(cube, target, method)
     if method not in ("near", "bilinear"):
         raise ValueError(f"unknown resample method {method!r}")
     src = cube.meta.layout
@@ -171,6 +173,166 @@ def resample_spatial(
         (F.col("col") >= 0) & (F.col("row") >= 0)
         & (F.col("col") < target.layout_cols) & (F.col("row") < target.layout_rows)
     )
+    meta = CubeMeta(target, out_ct.name, cube.meta.band_names, temporal)
+    return DataCube(merged, meta)
+
+
+def _resample_aggregate(
+    cube: DataCube, target: LayoutDefinition, method: str
+) -> DataCube:
+    """Aggregate (area-based) downscale: every target pixel is the
+    average/sum/min/max of the VALID source pixels whose centers fall inside
+    it — the geotrellis Average/Sum/Min/Max ResampleMethods the reference's
+    resample_spatial exposes (TileRDDReproject takes any ResampleMethod;
+    openEO's 10m->60m 'average' workflows use exactly this).
+
+    Same-CRS only (an area aggregate under a warp needs area weighting; the
+    reference's reproject likewise point-samples for warps). Distributed
+    shape: each source tile bincount-reduces its pixels into PARTIAL
+    (acc, count) planes per overlapped target key — map-side combine in
+    numpy — then one groupBy(target key) merges partials, so the shuffle
+    carries one fragment per (source tile x overlapped target tile), never
+    pixels. Blocks spanning source-tile borders are exact because partials
+    compose (sum/count add; min/max fold). Median is NOT offered: it does
+    not decompose into partials (the reference's Median resample has the
+    same cross-tile caveat).
+    """
+    src = cube.meta.layout
+    if src == target:
+        return cube
+    if src.crs != target.crs:
+        raise ValueError(
+            f"aggregate resample '{method}' requires matching CRS "
+            f"(got {src.crs} -> {target.crs}); warp first, then aggregate"
+        )
+    ct = cube.meta.cell_type
+    n_bands = cube.meta.n_bands
+    shape = cube.meta.tile_shape
+    out_ct = parse_cell_type("float64")
+    temporal = cube.meta.temporal
+    from pyspark.sql.types import (
+        ArrayType,
+        BinaryType,
+        IntegerType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    part_schema = StructType(
+        ([StructField("time", TimestampType())] if temporal else [])
+        + [
+            StructField("col", IntegerType()),
+            StructField("row", IntegerType()),
+            StructField("accs", ArrayType(BinaryType())),
+            StructField("cnts", ArrayType(BinaryType())),
+        ]
+    )
+    is_minmax = method in ("min", "max")
+
+    def partials(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        th, tw = target.tile_rows, target.tile_cols
+        for pdf in it:
+            rows = []
+            for rec in pdf.itertuples(index=False):
+                c, r = int(rec.col), int(rec.row)
+                stack = decode_tile_float(list(rec.bands), ct, shape)
+                se = src.extent_for_key(c, r)
+                # source pixel centers -> global target pixel indices
+                xs = se.xmin + (np.arange(shape[1]) + 0.5) * src.cell_width
+                ys = se.ymax - (np.arange(shape[0]) + 0.5) * src.cell_height
+                gx = np.floor((xs - target.extent.xmin) / target.cell_width).astype(
+                    np.int64
+                )
+                gy = np.floor((target.extent.ymax - ys) / target.cell_height).astype(
+                    np.int64
+                )
+                GX, GY = np.meshgrid(gx, gy)
+                for tc in np.unique(GX // tw):
+                    for tr in np.unique(GY // th):
+                        if not (
+                            0 <= tc < target.layout_cols
+                            and 0 <= tr < target.layout_rows
+                        ):
+                            continue
+                        inx = GX - tc * tw
+                        iny = GY - tr * th
+                        own = (inx >= 0) & (inx < tw) & (iny >= 0) & (iny < th)
+                        if not own.any():
+                            continue
+                        flat = (iny * tw + inx)[own]
+                        accs, cnts = [], []
+                        for b in range(n_bands):
+                            v = stack[b][own]
+                            valid = ~np.isnan(v)
+                            cnt = np.bincount(
+                                flat[valid], minlength=th * tw
+                            ).astype(np.float64)
+                            if is_minmax:
+                                op = np.minimum if method == "min" else np.maximum
+                                tmp = np.full(
+                                    th * tw, np.inf if method == "min" else -np.inf
+                                )
+                                op.at(tmp, flat[valid], v[valid])
+                                acc = np.where(cnt > 0, tmp, np.nan)
+                            else:
+                                acc = np.bincount(
+                                    flat[valid],
+                                    weights=v[valid],
+                                    minlength=th * tw,
+                                )
+                            accs.append(acc.reshape(th, tw).tobytes())
+                            cnts.append(cnt.reshape(th, tw).tobytes())
+                        key = [rec.time] if temporal else []
+                        rows.append(key + [int(tc), int(tr), accs, cnts])
+            cols = (["time"] if temporal else []) + ["col", "row", "accs", "cnts"]
+            yield pd.DataFrame(rows, columns=cols)
+
+    frags = cube.df.mapInPandas(partials, schema=part_schema)
+    keys = (["time"] if temporal else []) + ["col", "row"]
+    out_schema = cube_schema(temporal)
+
+    def merge_partials(pdf: pd.DataFrame) -> pd.DataFrame:
+        th, tw = target.tile_rows, target.tile_cols
+        acc = np.full((n_bands, th, tw), np.nan)
+        cnt = np.zeros((n_bands, th, tw))
+        for accs, cnts in zip(pdf["accs"], pdf["cnts"]):
+            for b in range(n_bands):
+                a = np.frombuffer(accs[b], dtype=np.float64).reshape(th, tw)
+                n = np.frombuffer(cnts[b], dtype=np.float64).reshape(th, tw)
+                if is_minmax:
+                    both = ~np.isnan(acc[b]) & ~np.isnan(a)
+                    op = np.fmin if method == "min" else np.fmax
+                    acc[b] = np.where(
+                        both, op(acc[b], a), np.where(np.isnan(acc[b]), a, acc[b])
+                    )
+                else:
+                    acc[b] = np.where(
+                        np.isnan(acc[b]), a, acc[b] + np.nan_to_num(a)
+                    )
+                cnt[b] += n
+        with np.errstate(invalid="ignore"):
+            if method == "average":
+                out = np.where(cnt > 0, acc / np.where(cnt > 0, cnt, 1.0), np.nan)
+            elif method == "sum":
+                out = np.where(cnt > 0, acc, np.nan)
+            else:
+                out = acc
+        bands = [
+            encode_band(out_ct.from_float_nan(out[b]), out_ct)
+            for b in range(n_bands)
+        ]
+        first = pdf.iloc[0]
+        row = ([first["time"]] if temporal else []) + [
+            int(first["col"]),
+            int(first["row"]),
+            bands,
+        ]
+        return pd.DataFrame(
+            [row], columns=(["time"] if temporal else []) + ["col", "row", "bands"]
+        )
+
+    merged = frags.groupBy(*keys).applyInPandas(merge_partials, schema=out_schema)
     meta = CubeMeta(target, out_ct.name, cube.meta.band_names, temporal)
     return DataCube(merged, meta)
 
