@@ -162,6 +162,35 @@ def test_resumable_writer_crash_recovery(spark, docs_cells, tmp_path):
     assert len(ResumableWriter(out).metrics()) == 1  # only the committed attempt
 
 
+def test_resumable_writer_concurrent_race_reconciles(spark, docs_cells, tmp_path):
+    """Two writers racing on the same out_dir (each saw an empty commit log,
+    both wrote every bucket, both published): reconciliation must keep
+    exactly ONE copy per bucket (first commit wins) and vacuum must delete
+    exactly the losing attempt's files."""
+    out = str(tmp_path / "race")
+    w = ResumableWriter(out)
+    w.run(docs_cells)
+    cdir = os.path.join(out, MANIFEST)
+    (first_commit,) = os.listdir(cdir)
+    # stash the first commit so the second writer sees an empty log (the
+    # concurrent-start interleaving), then restore it after B publishes
+    held = open(os.path.join(cdir, first_commit)).read()
+    os.remove(os.path.join(cdir, first_commit))
+    s2 = ResumableWriter(out).run(docs_cells)
+    assert s2["skipped"] == 0  # B really did duplicate A's work
+    with open(os.path.join(cdir, first_commit), "x") as f:
+        f.write(held)
+
+    r = ResumableWriter(out)
+    assert len(r.commits()) == 2
+    got = r.read(spark)
+    assert got.count() == 500
+    assert got.select("doc_id").distinct().count() == 500
+    stray = r.vacuum()
+    assert stray  # the losing attempt's files
+    assert spark.read.parquet(out).count() == 500
+
+
 def test_resumable_writer_partial_resume_reconciles(spark, docs_cells, tmp_path):
     """Resume after losing SOME commits: only missing buckets recompute, and
     first-commit-wins reconciliation keeps exactly one copy per bucket."""
