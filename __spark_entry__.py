@@ -165,6 +165,70 @@ def _q_doc_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_span_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BASELINE north-rule per-row invariant, driver-gated: span-sequence
+    equality (kind, text, media_ref, order) preserved through a real
+    explode -> cell-join -> repartition -> reassemble pipeline.
+    ``invariant_ok`` compares the md5 span fingerprint taken BEFORE the
+    pipeline with one rebuilt from the exploded+joined+shuffled spans
+    (sources/interleaved.py:span_fingerprints/reassemble_fingerprints);
+    the oracle independently pins the structural columns from the doc
+    formulas and requires invariant_ok = TRUE for every row."""
+    from openeo_geotrellis_extensions_spark.sources.interleaved import (
+        explode_spans,
+        reassemble_fingerprints,
+        span_fingerprints,
+    )
+
+    docs = synth_docs(spark, _n_docs(spark, sf_dir))
+    src = span_fingerprints(docs)
+    ex = explode_spans(docs)
+    # real pipeline stages between explode and reassemble: per-doc cell
+    # join (broadcastable dim) + a cell-keyed shuffle exchange
+    cells = (
+        extract_geometries(docs)
+        .groupBy("doc_id")
+        .agg(
+            F.floor(((F.min("xmin") + F.max("xmax")) / 2 + 180.0) * 512 / 360.0)
+            .cast("int")
+            .alias("cell")
+        )
+    )
+    staged = ex.join(cells, "doc_id").repartition(F.col("cell"))
+    back = reassemble_fingerprints(
+        staged.select("doc_id", "span_idx", "kind", "text", "media_ref", "offset")
+    ).withColumnRenamed("span_fp", "span_fp_back")
+    measured = staged.groupBy("doc_id").agg(
+        F.count("*").cast("int").alias("n_spans"),
+        F.sum(F.when(F.col("kind") == "text", 1).otherwise(0))
+        .cast("int")
+        .alias("n_text"),
+        F.max("offset").cast("int").alias("max_offset"),
+    )
+    return (
+        src.join(back, "doc_id")
+        .join(measured, "doc_id")
+        .select(
+            "doc_id",
+            "n_spans",
+            "n_text",
+            "max_offset",
+            (F.col("span_fp") == F.col("span_fp_back")).alias("invariant_ok"),
+        )
+    )
+
+
+_ORACLE_SPAN_INVARIANT = """
+    SELECT printf('doc_%08d', doc_id) AS doc_id,
+           CAST(2 + doc_id % 4 AS INT) AS n_spans,
+           CAST(len(list_filter(range(0, 2 + doc_id % 4),
+                                j -> (doc_id + j) % 3 < 2)) AS INT) AS n_text,
+           CAST((1 + doc_id % 4) * 20 + doc_id % 13 AS INT) AS max_offset,
+           TRUE AS invariant_ok
+    FROM documents
+"""
+
+
 def _oracle_doc_cells() -> str:
     a = doc_attr_sql("doc_id")
     return f"""
@@ -2954,6 +3018,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_ann_hier": _q_ivf_ann_hier,
         "resample_polar": _q_resample_polar,
         "resample_average": _q_resample_average,
+        "span_invariant": _q_span_invariant,
         "doc_cells": _q_doc_cells,
         "spatial_join": _q_spatial_join,
         "zonal_stats_const": _q_zonal_const,
@@ -3010,6 +3075,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "doc_cells": _oracle_doc_cells(),
+        "span_invariant": _ORACLE_SPAN_INVARIANT,
         "spatial_join": _oracle_spatial_join(),
         "zonal_stats_const": _zonal_oracle(_CONST_VALUE, 2),
         "zonal_stats_arith": _zonal_oracle(_ARITH_VALUE, 2),
