@@ -287,6 +287,48 @@ def streaming_dedup_first_seen(
     )
 
 
+def stream_to_resumable(
+    stream_df: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    name: str = "stream_sink",
+    timeout_sec: int = 120,
+):
+    """Exactly-once streaming file sink on the commit-log checkpoint writer
+    (runtime/checkpoint.py): each micro-batch writes through a
+    ``ResumableWriter`` with bucket = the batch id, so a foreachBatch REPLAY
+    after a failure (Structured Streaming's at-least-once contract) finds
+    its bucket already committed and becomes a no-op — idempotent rewrite
+    turns at-least-once replays into exactly-once file output, without any
+    rename-dependent output committer (object-store-safe end to end).
+
+    Returns the writer (``.read(spark)`` gives the reconciled output,
+    ``.metrics()`` the per-batch lineage/metrics the north rule asks for).
+    """
+    from pyspark.sql import functions as F
+
+    from ..runtime.checkpoint import ResumableWriter
+
+    writer = ResumableWriter(
+        out_dir, partition_col="batch_bucket", lineage={"stream": name}
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        writer.run(
+            batch_df.withColumn("batch_bucket", F.lit(f"b{batch_id:012d}"))
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .queryName(name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_drained(q, name, timeout_sec)
+    return writer
+
+
 def run_stream_append_to_memory(
     stream_df: DataFrame, name: str = "stream_append", timeout_sec: int = 120
 ) -> DataFrame:

@@ -72,6 +72,60 @@ def test_streaming_dedup_first_seen_across_batches(spark, tmp_path):
         assert rec.event_id in groups_by_md5[rec.h]
 
 
+def test_stream_to_resumable_exactly_once(spark, tmp_path):
+    """Exactly-once file sink: micro-batches write through the commit-log
+    ResumableWriter keyed by batch id, a simulated foreachBatch REPLAY of an
+    already-committed batch is a no-op, and the reconciled read equals the
+    batch source exactly (no dupes, no gaps). Restarting the drained stream
+    on the same checkpoint also writes nothing new."""
+    import duckdb
+
+    from openeo_geotrellis_extensions_spark.streaming.events import (
+        stream_to_resumable,
+    )
+
+    d = tmp_path / "ev_src"
+    d.mkdir()
+    con = duckdb.connect()
+    for i in range(4):
+        con.execute(
+            f"COPY (SELECT * FROM read_parquet('{SF}/events.parquet') "
+            f"WHERE event_id % 4 = {i}) TO '{d}/part_{i}.parquet' (FORMAT PARQUET)"
+        )
+    schema = spark.read.parquet(str(d)).schema
+    out_dir = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def start():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "2")  # -> 2 micro-batches
+            .parquet(str(d))
+        )
+        return stream_to_resumable(stream, out_dir, ckpt, name="ev_sink")
+
+    writer = start()
+    n_src = spark.read.parquet(f"{SF}/events.parquet").count()
+    got = writer.read(spark)
+    assert got.count() == n_src
+    assert got.select("event_id").distinct().count() == n_src
+    assert len(writer.commits()) >= 2  # one commit per micro-batch
+
+    # simulated replay of batch 0 (at-least-once delivery): no-op
+    from pyspark.sql import functions as F
+
+    replay = spark.read.parquet(str(d)).withColumn(
+        "batch_bucket", F.lit("b000000000000")
+    )
+    s = writer.run(replay)
+    assert s["written"] == 0 and s["skipped"] >= 2
+    assert writer.read(spark).count() == n_src
+
+    # restart on the same checkpoint: source exhausted, nothing new written
+    w2 = start()
+    assert w2.read(spark).count() == n_src
+
+
 def test_streaming_dedup_with_state_ttl(spark, tmp_path):
     """TTL-armed variant (ProcessingTimeTimeout): with a TTL far beyond the
     run, output matches the untimed semantics — one row per distinct hash."""
