@@ -1504,6 +1504,82 @@ _ORACLE_REPETITION = r"""
 """
 
 
+def _q_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-self unigram LM scoring (the CCNet/Wikipedia-LM quality-filter
+    proxy): per-doc mean -ln p(token) under the corpus's own add-alpha
+    unigram distribution, token logprobs quantized to integer micro-nats so
+    document sums are order-proof and bit-identical cross-engine."""
+    from openeo_geotrellis_extensions_spark.pipeline.text import (
+        unigram_logprob_scores,
+    )
+
+    docs = spark.read.parquet(_DOCS.format(sf=sf_dir))
+    return unigram_logprob_scores(docs).select(
+        F.col("doc_id"), "n_tokens", "nll"
+    )
+
+
+_ORACLE_UNIGRAM_LM = r"""
+    WITH norm AS (SELECT doc_id,
+                         regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+                  FROM documents),
+    wrds AS (SELECT doc_id, unnest(string_split(t, ' ')) AS word FROM norm),
+    toks AS (SELECT doc_id, word FROM wrds WHERE word != ''),
+    vocab AS (SELECT word, COUNT(*) AS c FROM toks GROUP BY 1),
+    tot AS (SELECT SUM(c) AS n_total, COUNT(*) AS v_size FROM vocab),
+    lp AS (SELECT word,
+                  CAST(round(-ln((c + 0.5) / (n_total + 0.5 * v_size))
+                             * 1000000.0) AS BIGINT) AS u
+           FROM vocab, tot)
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS INT) AS n_tokens,
+           ROUND(SUM(u) / (COUNT(*) * 1000000.0), 6) AS nll
+    FROM toks t JOIN lp USING (word)
+    GROUP BY 1
+"""
+
+
+def _q_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted deterministic sampling (data-mixing step):
+    p = min(1, 0.07 * sqrt(n_chars)), decided by the content-keyed md5
+    digest against a per-row hex threshold — closed-form normalizer so the
+    decision is a pure map expression pinned exactly by the oracle
+    (sqrt is correctly-rounded IEEE in both engines)."""
+    from openeo_geotrellis_extensions_spark.pipeline.sample import (
+        importance_sample,
+    )
+
+    docs = spark.read.parquet(_DOCS.format(sf=sf_dir)).withColumn(
+        "w", F.length("text").cast("double")
+    )
+    # target_fraction/mean_weight fold to the 0.07 closed-form coefficient
+    out = importance_sample(
+        docs, key_col="doc_id", weight_col="w",
+        target_fraction=0.5, temperature=0.5, mean_weight=1.0 / 0.14,
+    )
+    return out.select("doc_id", F.col("w").cast("int").alias("n_chars"))
+
+
+def _oracle_importance_sample() -> str:
+    norm = 1.0 / 0.14  # EXACT double the engine divides by (repr-emitted)
+    return f"""
+    WITH p AS (
+        SELECT doc_id, length(text) AS n_chars,
+               least(1.0, 0.5 * sqrt(CAST(length(text) AS DOUBLE))
+                            / CAST({norm!r} AS DOUBLE)) AS keep_p
+        FROM documents
+    )
+    SELECT doc_id, CAST(n_chars AS INT) AS n_chars
+    FROM p
+    WHERE md5(concat(CAST(doc_id AS VARCHAR), ':imp')) <
+          CASE WHEN CAST(floor(keep_p * 4294967296.0) AS BIGINT) >= 4294967296
+               THEN repeat('g', 32)
+               ELSE printf('%08x', CAST(floor(keep_p * 4294967296.0) AS BIGINT))
+                      || repeat('0', 24)
+          END
+    """
+
+
 def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Length-stratified deterministic sampling: content-keyed md5-threshold
     keep decisions (stable under repartitioning, engine-portable — the
@@ -3019,6 +3095,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resample_polar": _q_resample_polar,
         "resample_average": _q_resample_average,
         "span_invariant": _q_span_invariant,
+        "unigram_lm": _q_unigram_lm,
+        "importance_sample": _q_importance_sample,
         "doc_cells": _q_doc_cells,
         "spatial_join": _q_spatial_join,
         "zonal_stats_const": _q_zonal_const,
@@ -3076,6 +3154,8 @@ def oracle_sql() -> dict[str, str]:
     return {
         "doc_cells": _oracle_doc_cells(),
         "span_invariant": _ORACLE_SPAN_INVARIANT,
+        "unigram_lm": _ORACLE_UNIGRAM_LM,
+        "importance_sample": _oracle_importance_sample(),
         "spatial_join": _oracle_spatial_join(),
         "zonal_stats_const": _zonal_oracle(_CONST_VALUE, 2),
         "zonal_stats_arith": _zonal_oracle(_ARITH_VALUE, 2),

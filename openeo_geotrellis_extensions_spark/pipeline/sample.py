@@ -43,6 +43,56 @@ def deterministic_sample(
     return df.where(keep_expr(key_col, fraction, salt))
 
 
+def importance_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    target_fraction: float,
+    temperature: float = 0.5,
+    salt: str = "imp",
+    mean_weight: float | None = None,
+) -> DataFrame:
+    """Temperature-weighted deterministic sampling — the data-mixing
+    reweighting step of a curation pipeline: keep probability
+    ``p = min(1, target_fraction * w^T / mean(w^T))`` so higher-weight
+    (higher-quality) documents survive more often; ``temperature`` T < 1
+    flattens the distribution (T=0 degenerates to a uniform Bernoulli at
+    ``target_fraction``). The decision stays content-keyed: the doc's md5
+    digest is compared against a PER-ROW hex threshold built from p, so the
+    same doc keeps/drops regardless of partitioning or engine.
+
+    Scale shape: ONE corpus aggregate (mean of w^T — a broadcast scalar)
+    plus a map-only filter; no shuffle of the data itself. Pass a
+    pre-computed ``mean_weight`` (mean of w^T) to skip the aggregate and
+    make the whole decision a closed-form map-only expression — the form
+    the cross-engine oracle pins exactly (a float corpus mean carries
+    summation-order ulp drift between engines; a supplied constant does
+    not)."""
+    if not 0.0 <= target_fraction <= 1.0:
+        raise ValueError(f"target_fraction must be in [0, 1], got {target_fraction}")
+    w = F.col(weight_col).cast("double")
+    # T=0.5 via sqrt, not pow: IEEE sqrt is correctly rounded in every
+    # engine, so the decision boundary is bit-identical cross-engine
+    wt = (
+        F.sqrt(w)
+        if temperature == 0.5
+        else F.pow(w, F.lit(float(temperature)))
+    )
+    if mean_weight is None:
+        norm = df.select(F.avg(wt).alias("_mean_wt"))
+        df = df.crossJoin(F.broadcast(norm))
+        mean_col = F.col("_mean_wt")
+    else:
+        mean_col = F.lit(float(mean_weight))
+    digest = F.md5(F.concat(F.col(key_col).cast("string"), F.lit(f":{salt}")))
+    p = F.least(F.lit(1.0), F.lit(float(target_fraction)) * wt / mean_col)
+    scaled = F.floor(p * F.lit(float(16**8))).cast("long")
+    thr = F.when(scaled >= 16**8, F.lit("g" * 32)).otherwise(
+        F.concat(F.format_string("%08x", scaled), F.lit("0" * 24))
+    )
+    return df.where(digest < thr).drop("_mean_wt")
+
+
 def stratified_sample(
     df: DataFrame,
     strata_col: str,

@@ -167,6 +167,71 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     return out.withColumn("pred_lang", F.array_max(struct_arr)["lang"])
 
 
+def unigram_logprob_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Corpus-self unigram LM scoring — the CCNet/Wikipedia-LM quality
+    filter re-expressed Spark-first: per-document mean negative log
+    likelihood under the corpus's OWN add-alpha-smoothed unigram
+    distribution (documents full of rare junk tokens score high, fluent
+    boilerplate scores low; threshold or feed to importance_sample).
+
+    -> (id_col, n_tokens, nll): nll = mean over tokens of
+    -ln((count + alpha) / (N + alpha * V)). Per-token logprobs are
+    quantized to INTEGER micro-nats before the mean, so the document sum is
+    exact under ANY summation order — the mean is bit-identical across
+    engines (a plain float mean would drift with partial-agg order); only
+    the per-token ln carries ulp noise, absorbed by the quantization (the
+    tfidf oracle precedent).
+
+    Scale shape: two shuffles total at any corpus size — one groupBy(word)
+    builds the distribution, one groupBy(doc) averages — and the
+    token->logprob equi-join carries ONE build row per word, so a Zipf-head
+    word is a wide-but-flat join key (AQE skew split handles it), never a
+    quadratic bucket."""
+    t = F.regexp_replace(F.lower(F.trim(F.col(text_col))), "\\s+", " ")
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(F.split(t, " ")).alias("word")
+    ).where(F.col("word") != "")
+    vocab = toks.groupBy("word").agg(F.count("*").alias("c"))
+    totals = vocab.agg(
+        F.sum("c").alias("n_total"), F.count("*").alias("v_size")
+    )
+    logp = (
+        vocab.crossJoin(F.broadcast(totals))
+        .select(
+            "word",
+            F.round(
+                -F.log(
+                    (F.col("c") + F.lit(alpha))
+                    / (F.col("n_total") + F.lit(alpha) * F.col("v_size"))
+                )
+                * F.lit(1_000_000.0)
+            )
+            .cast("long")
+            .alias("neg_logp_u"),  # integer micro-nats: order-proof sums
+        )
+    )
+    return (
+        toks.join(logp, "word")
+        .groupBy("id")
+        .agg(
+            F.count("*").cast("int").alias("n_tokens"),
+            F.sum("neg_logp_u").alias("_u"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "n_tokens",
+            F.round(
+                F.col("_u") / (F.col("n_tokens") * F.lit(1_000_000.0)), 6
+            ).alias("nll"),
+        )
+    )
+
+
 def text_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Normalized content fingerprint: lower -> collapse whitespace -> md5.
     (The exact-dedup key; a rolling-hash analog lives in dedup.simhash.)"""

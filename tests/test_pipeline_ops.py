@@ -214,7 +214,73 @@ def test_ngram_jaccard_uncapped_guard_raises_on_large_corpus(spark):
     assert ngram_jaccard_pairs(docs, threshold=0.05, max_docs=None).count()
 
 
-def test_tfidf_top_terms(spark):
+def test_unigram_logprob_scores_hand_checked(spark):
+    """Unigram LM scoring on a 3-doc corpus vs a by-hand computation."""
+    import math
+
+    from openeo_geotrellis_extensions_spark.pipeline.text import (
+        unigram_logprob_scores,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "a a b"), (1, "b c"), (2, "a c c")], ["doc_id", "text"]
+    )
+    # counts: a=3 b=2 c=3, N=8, V=3, alpha=0.5 -> denom 9.5
+    u = {
+        w: round(-math.log((c + 0.5) / 9.5) * 1e6)
+        for w, c in {"a": 3, "b": 2, "c": 3}.items()
+    }
+    want = {
+        0: (3, round((2 * u["a"] + u["b"]) / 3e6, 6)),
+        1: (2, round((u["b"] + u["c"]) / 2e6, 6)),
+        2: (3, round((u["a"] + 2 * u["c"]) / 3e6, 6)),
+    }
+    got = {
+        r.doc_id: (r.n_tokens, r.nll)
+        for r in unigram_logprob_scores(docs).collect()
+    }
+    assert got == want
+    # rare-token docs score higher than common-token docs
+    docs2 = spark.createDataFrame(
+        [(0, "the the the the"), (1, "zyxgly qwfpkt vbnmlr uiopjh")]
+        + [(i, "the the the the") for i in range(2, 12)],
+        ["doc_id", "text"],
+    )
+    s = {r.doc_id: r.nll for r in unigram_logprob_scores(docs2).collect()}
+    assert s[1] > s[0]
+
+
+def test_importance_sample_properties(spark):
+    """Temperature-weighted sampling: deterministic, repartition-stable,
+    keep-rate increases with weight, corpus-mean path lands near the target
+    fraction."""
+    from openeo_geotrellis_extensions_spark.pipeline.sample import (
+        importance_sample,
+    )
+
+    df = spark.range(4000).select(
+        F.col("id").alias("doc_id"),
+        (F.when(F.col("id") % 4 == 0, 100.0).otherwise(1.0)).alias("w"),
+    )
+    kept = importance_sample(df, "doc_id", "w", target_fraction=0.4)
+    ids = {r.doc_id for r in kept.collect()}
+    again = {
+        r.doc_id
+        for r in importance_sample(
+            df.repartition(13), "doc_id", "w", target_fraction=0.4
+        ).collect()
+    }
+    assert ids == again  # content-keyed: partitioning-independent
+    n_heavy = len([i for i in ids if i % 4 == 0])
+    n_light = len(ids) - n_heavy
+    # heavy docs (w=100, sqrt->10x weight) keep ~10x more often than light
+    assert n_heavy / 1000 > 3 * (n_light / 3000)
+    assert 0.25 < len(ids) / 4000 < 0.55  # near the target fraction
+    # fixed normalizer path: closed-form, matches a manual filter
+    fixed = importance_sample(
+        df, "doc_id", "w", target_fraction=0.4, mean_weight=4.0
+    )
+    assert fixed.count() > 0
     """TF-IDF: hand-checked on a 3-doc corpus + JVM-only plan."""
     from openeo_geotrellis_extensions_spark.pipeline.text import tfidf_top_terms
 
