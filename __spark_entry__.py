@@ -2279,6 +2279,36 @@ def _oracle_catboost_predict() -> str:
 _IVF_LISTS, _IVF_PROBE, _IVF_ITERS, _IVF_K, _IVF_DIM = 8, 2, 2, 3, 64
 
 
+def _q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (cluster-scoped epsilon-ball pruning):
+    the deterministic IVF quantizer partitions the embedding space, and
+    within each cluster every vector cosine-similar to a lower-id vector is
+    dropped. The oracle recomputes clustering AND pruning stage for stage
+    via the shared assignment CTE block."""
+    from openeo_geotrellis_extensions_spark.pipeline.dedup import semdedup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return semdedup(
+        emb, threshold=0.18, n_lists=_IVF_LISTS, iters=_IVF_ITERS
+    ).select(F.col("id").cast("long").alias("id"), "list_id", "kept")
+
+
+def _oracle_semdedup() -> str:
+    return f"""
+        WITH {_ivf_assign_cte_block()},
+        dups AS (
+            SELECT DISTINCT b.neighbor_id AS id
+            FROM fin a JOIN fin b ON a.list_id = b.list_id
+                                 AND a.neighbor_id < b.neighbor_id
+            JOIN embeddings ea ON ea.vec_id = a.neighbor_id
+            JOIN embeddings eb ON eb.vec_id = b.neighbor_id
+            WHERE {_COS_PAIR} >= 0.18)
+        SELECT f.neighbor_id AS id, f.list_id,
+               (d.id IS NULL) AS kept
+        FROM fin f LEFT JOIN dups d ON d.id = f.neighbor_id
+    """
+
+
 def _q_ivf_ann_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-level (coarse-of-coarse) IVF probe, driver-gated through the SAME
     oracle as the flat path: with coarse_probe == n_coarse every coarse group
@@ -2319,14 +2349,14 @@ def _q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _oracle_ivf_ann() -> str:
-    """DuckDB mirror of ivf_topk_det: quantize -> md5-ordered seeds -> two
-    unrolled Lloyd iterations (assign CTE = argmax of the exact-integer
-    score 2*q.c - |c|^2; update CTE = per-dim floor(double(sum)/count),
-    empty lists COALESCE to the previous centroid) -> final assign ->
-    n_probe probes per query -> candidate equi-join on list_id -> exact
-    cosine rerank. Every intermediate is an integer-valued double < 2^53,
-    so both engines agree bit for bit."""
+def _ivf_assign_cte_block() -> str:
+    """Shared DuckDB CTE block mirroring ivf_centroids_det + the final
+    assignment: quantize -> md5-ordered seeds -> unrolled Lloyd iterations
+    (assign = argmax of the exact-integer score 2*q.c - |c|^2; update =
+    per-dim floor(double(sum)/count), empty lists COALESCE to the previous
+    centroid) -> fin(neighbor_id, list_id). Every intermediate is an
+    integer-valued double < 2^53, so both engines agree bit for bit.
+    Reused by the ivf_ann and semdedup oracles."""
     score = (
         "2*list_dot_product(CAST(v.q AS DOUBLE[]), CAST(c.c AS DOUBLE[]))"
         " - list_dot_product(CAST(c.c AS DOUBLE[]), CAST(c.c AS DOUBLE[]))"
@@ -2352,7 +2382,7 @@ def _oracle_ivf_ann() -> str:
                  FROM {prev} p LEFT JOIN u{i} u USING (list_id))""")
     final = f"c{_IVF_ITERS}"
     return f"""
-        WITH qv AS (
+        qv AS (
             SELECT vec_id AS id,
                    list_transform(CAST(embedding AS DOUBLE[]),
                                   x -> CAST(floor(x*1000000) AS BIGINT)) AS q
@@ -2370,7 +2400,20 @@ def _oracle_ivf_ann() -> str:
                            PARTITION BY v.id
                            ORDER BY ({score}) DESC, c.list_id ASC) AS rn
                 FROM qv v CROSS JOIN {final} c)
-            WHERE rn = 1),
+            WHERE rn = 1)"""
+
+
+def _oracle_ivf_ann() -> str:
+    """DuckDB mirror of ivf_topk_det: the shared assignment block
+    (_ivf_assign_cte_block) -> n_probe probes per query -> candidate
+    equi-join on list_id -> exact cosine rerank."""
+    score = (
+        "2*list_dot_product(CAST(v.q AS DOUBLE[]), CAST(c.c AS DOUBLE[]))"
+        " - list_dot_product(CAST(c.c AS DOUBLE[]), CAST(c.c AS DOUBLE[]))"
+    )
+    final = f"c{_IVF_ITERS}"
+    return f"""
+        WITH {_ivf_assign_cte_block()},
         pr AS (
             SELECT id AS query_id, list_id FROM (
                 SELECT v.id, c.list_id,
@@ -3097,6 +3140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_invariant": _q_span_invariant,
         "unigram_lm": _q_unigram_lm,
         "importance_sample": _q_importance_sample,
+        "semdedup": _q_semdedup,
         "doc_cells": _q_doc_cells,
         "spatial_join": _q_spatial_join,
         "zonal_stats_const": _q_zonal_const,
@@ -3156,6 +3200,7 @@ def oracle_sql() -> dict[str, str]:
         "span_invariant": _ORACLE_SPAN_INVARIANT,
         "unigram_lm": _ORACLE_UNIGRAM_LM,
         "importance_sample": _oracle_importance_sample(),
+        "semdedup": _oracle_semdedup(),
         "spatial_join": _oracle_spatial_join(),
         "zonal_stats_const": _zonal_oracle(_CONST_VALUE, 2),
         "zonal_stats_arith": _zonal_oracle(_ARITH_VALUE, 2),

@@ -407,6 +407,66 @@ def connected_components(
     return labels
 
 
+def semdedup(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    n_lists: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_list_rows: int | None = 10_000,
+) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023 shape): cluster the
+    embedding space with the deterministic IVF quantizer, then within each
+    cluster drop every vector that is cosine-similar (rounded cosine >=
+    ``threshold``) to a LOWER-id vector — keep-lowest-id per epsilon-ball.
+    -> (id, list_id, kept).
+
+    Candidate generation is the cluster partition itself: the pair join is
+    an equi-join on list_id, so cross-cluster pairs are never materialized.
+    The within-cluster block is O(list_size^2) — the SemDeDup trade — so
+    list count must be sized to the corpus (ivf_params_for/target_list_rows
+    keeps clusters bounded); ``max_list_rows`` enforces that contract like
+    cosine_topk_bruteforce's query guard: it raises instead of launching a
+    quadratic mega-cluster."""
+    from .similarity import _assign_udf, cosine_col, ivf_centroids_det
+
+    C = ivf_centroids_det(emb, n_lists, iters, id_col, vec_col)
+    assigned = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        _assign_udf(C)(F.col(vec_col)).alias("list_id"),
+    )
+    if max_list_rows is not None:
+        biggest = (
+            assigned.groupBy("list_id").count().agg(F.max("count")).collect()[0][0]
+        )
+        if biggest and biggest > max_list_rows:
+            raise ValueError(
+                f"semdedup: largest cluster has {biggest} rows > "
+                f"max_list_rows={max_list_rows}; raise n_lists "
+                "(ivf_params_for sizes it to the corpus) or the guard."
+            )
+    a = assigned.select(
+        F.col("id").alias("id_a"), F.col("v").alias("va"), "list_id"
+    )
+    b = assigned.select(
+        F.col("id").alias("id_b"), F.col("v").alias("vb"), "list_id"
+    )
+    dups = (
+        a.join(b, "list_id")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(cosine_col("va", "vb"), 6))
+        .where(F.col("cosine") >= threshold)
+        .select(F.col("id_b").alias("id"))
+        .distinct()
+    )
+    return (
+        assigned.join(dups.withColumn("_dup", F.lit(True)), "id", "left")
+        .select("id", "list_id", F.coalesce(~F.col("_dup"), F.lit(True)).alias("kept"))
+    )
+
+
 def embedding_near_dups_lsh(
     emb: DataFrame,
     id_col: str = "vec_id",

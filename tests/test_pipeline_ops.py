@@ -214,6 +214,48 @@ def test_ngram_jaccard_uncapped_guard_raises_on_large_corpus(spark):
     assert ngram_jaccard_pairs(docs, threshold=0.05, max_docs=None).count()
 
 
+def test_semdedup_cluster_scoped_pruning(spark):
+    """SemDeDup: within each quantizer cluster, every vector cosine-similar
+    to a lower-id vector is dropped (keep-lowest-id per epsilon-ball);
+    cross-checked against a direct pairwise sweep on the same clustering."""
+    import numpy as np
+
+    from openeo_geotrellis_extensions_spark.pipeline.dedup import semdedup
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+    out = semdedup(emb, threshold=0.18, n_lists=8, iters=2).collect()
+    assert len(out) == emb.count()
+    kept = {r.id for r in out if r.kept}
+    lists = {r.id: r.list_id for r in out}
+    assert 0 < len(kept) < len(out)  # something pruned, something kept
+
+    # direct reference: pairwise cosine within each cluster
+    rows = emb.collect()
+    V = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in rows}
+    dropped_ref = set()
+    ids = sorted(V)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            if lists[a] != lists[b]:
+                continue
+            cos = round(
+                float(
+                    V[a] @ V[b]
+                    / (np.sqrt(V[a] @ V[a]) * np.sqrt(V[b] @ V[b]))
+                ),
+                6,
+            )
+            if cos >= 0.18:
+                dropped_ref.add(b)
+    assert kept == set(ids) - dropped_ref
+
+    # quadratic-cluster guard
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_list_rows"):
+        semdedup(emb, n_lists=2, max_list_rows=50)
+
+
 def test_unigram_logprob_scores_hand_checked(spark):
     """Unigram LM scoring on a 3-doc corpus vs a by-hand computation."""
     import math
