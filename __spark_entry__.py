@@ -1580,6 +1580,36 @@ def _oracle_importance_sample() -> str:
     """
 
 
+def _q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size token chunking with overlap (sequence-prep primitive):
+    64-token windows advancing by 48, ragged final window, map-only plan."""
+    from openeo_geotrellis_extensions_spark.pipeline.text import chunk_documents
+
+    docs = spark.read.parquet(_DOCS.format(sf=sf_dir))
+    return chunk_documents(docs, chunk_tokens=64, overlap=16)
+
+
+_ORACLE_CHUNK_DOCUMENTS = r"""
+    WITH norm AS (SELECT doc_id,
+                         regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+                  FROM documents),
+    w AS (SELECT doc_id, string_split(t, ' ') AS words FROM norm),
+    k AS (SELECT doc_id, words,
+                 greatest(1, CAST(ceil((len(words) - 16) / 48.0) AS INT)) AS nc
+          FROM w),
+    c AS (SELECT doc_id, words,
+                 CAST(unnest(range(0, nc)) AS INT) AS chunk_idx
+          FROM k),
+    s AS (SELECT doc_id, chunk_idx,
+                 words[chunk_idx * 48 + 1 : chunk_idx * 48 + 64] AS cw
+          FROM c)
+    SELECT doc_id AS id, chunk_idx,
+           CAST(len(cw) AS INT) AS n_tokens,
+           array_to_string(cw, ' ') AS chunk_text
+    FROM s
+"""
+
+
 def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Length-stratified deterministic sampling: content-keyed md5-threshold
     keep decisions (stable under repartitioning, engine-portable — the
@@ -3141,6 +3171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_lm": _q_unigram_lm,
         "importance_sample": _q_importance_sample,
         "semdedup": _q_semdedup,
+        "chunk_documents": _q_chunk_documents,
         "doc_cells": _q_doc_cells,
         "spatial_join": _q_spatial_join,
         "zonal_stats_const": _q_zonal_const,
@@ -3201,6 +3232,7 @@ def oracle_sql() -> dict[str, str]:
         "unigram_lm": _ORACLE_UNIGRAM_LM,
         "importance_sample": _oracle_importance_sample(),
         "semdedup": _oracle_semdedup(),
+        "chunk_documents": _ORACLE_CHUNK_DOCUMENTS,
         "spatial_join": _oracle_spatial_join(),
         "zonal_stats_const": _zonal_oracle(_CONST_VALUE, 2),
         "zonal_stats_arith": _zonal_oracle(_ARITH_VALUE, 2),

@@ -232,6 +232,54 @@ def unigram_logprob_scores(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Fixed-size token chunking with overlap — the sequence-prep primitive
+    (context-window chunks for training/embedding): whitespace tokens in
+    windows of ``chunk_tokens`` advancing by ``chunk_tokens - overlap``;
+    the final window is ragged (whatever remains), and a document shorter
+    than one window yields exactly one chunk.
+    -> (id, chunk_idx, n_tokens, chunk_text).
+
+    Map-only Column expressions (split -> sequence -> explode -> slice):
+    no shuffle, no UDF — scales as a pure projection."""
+    if overlap >= chunk_tokens:
+        raise ValueError(f"overlap {overlap} must be < chunk_tokens {chunk_tokens}")
+    step = chunk_tokens - overlap
+    t = F.regexp_replace(F.lower(F.trim(F.col(text_col))), "\\s+", " ")
+    words = F.split(t, " ")
+    n = F.size(words)
+    # number of windows: ceil(max(n - overlap, 1) / step)
+    n_chunks = F.greatest(
+        F.lit(1), F.ceil((n - F.lit(overlap)) / F.lit(step)).cast("int")
+    )
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            words.alias("w"),
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+        )
+        .select(
+            "id",
+            "chunk_idx",
+            F.slice(
+                F.col("w"), F.col("chunk_idx") * step + 1, chunk_tokens
+            ).alias("cw"),
+        )
+        .select(
+            "id",
+            "chunk_idx",
+            F.size("cw").cast("int").alias("n_tokens"),
+            F.array_join("cw", " ").alias("chunk_text"),
+        )
+    )
+
+
 def text_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Normalized content fingerprint: lower -> collapse whitespace -> md5.
     (The exact-dedup key; a rolling-hash analog lives in dedup.simhash.)"""

@@ -214,6 +214,34 @@ def test_ngram_jaccard_uncapped_guard_raises_on_large_corpus(spark):
     assert ngram_jaccard_pairs(docs, threshold=0.05, max_docs=None).count()
 
 
+def test_chunk_documents_windows(spark):
+    """Window math: 64-token chunks stepping 48, ragged tail, short doc ->
+    one chunk, overlap region shared verbatim between neighbors."""
+    from openeo_geotrellis_extensions_spark.pipeline.text import chunk_documents
+
+    n = 113
+    text = " ".join(f"w{i}" for i in range(n))
+    docs = spark.createDataFrame(
+        [(0, text), (1, "only three words"), (2, "x")], ["doc_id", "text"]
+    )
+    out = chunk_documents(docs, chunk_tokens=64, overlap=16)
+    rows = {(r.id, r.chunk_idx): (r.n_tokens, r.chunk_text) for r in out.collect()}
+    assert [k for k in rows if k[0] == 0] == [(0, 0), (0, 1), (0, 2)]
+    assert rows[(0, 0)][0] == 64 and rows[(0, 1)][0] == 64
+    assert rows[(0, 2)][0] == n - 2 * 48  # ragged tail: 17 tokens
+    # overlap: last 16 tokens of chunk 0 == first 16 of chunk 1
+    c0 = rows[(0, 0)][1].split(" ")
+    c1 = rows[(0, 1)][1].split(" ")
+    assert c0[48:] == c1[:16]
+    assert c1 == [f"w{i}" for i in range(48, 112)]
+    assert rows[(1, 0)] == (3, "only three words")
+    assert rows[(2, 0)] == (1, "x")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="overlap"):
+        chunk_documents(docs, chunk_tokens=16, overlap=16)
+
+
 def test_semdedup_cluster_scoped_pruning(spark):
     """SemDeDup: within each quantizer cluster, every vector cosine-similar
     to a lower-id vector is dropped (keep-lowest-id per epsilon-ball);
