@@ -1610,6 +1610,45 @@ _ORACLE_CHUNK_DOCUMENTS = r"""
 """
 
 
+def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy next-fit sequence packing into 128-token context windows,
+    bucketed by doc_id % 16 (the distributed sharding key); the oracle
+    replays the same sequential scan per bucket with a recursive CTE."""
+    from openeo_geotrellis_extensions_spark.pipeline.text import pack_sequences
+
+    docs = spark.read.parquet(_DOCS.format(sf=sf_dir)).withColumn(
+        "bucket", (F.col("doc_id") % 16).cast("int")
+    )
+    return pack_sequences(docs, capacity=128)
+
+
+_ORACLE_PACK_SEQUENCES = r"""
+    WITH RECURSIVE norm AS (
+        SELECT doc_id,
+               regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+        FROM documents),
+    base AS (
+        SELECT CAST(doc_id % 16 AS INT) AS bucket,
+               CAST(doc_id AS BIGINT) AS id,
+               CAST(len(string_split(t, ' ')) AS INT) AS n_tokens,
+               ROW_NUMBER() OVER (PARTITION BY doc_id % 16 ORDER BY doc_id)
+                 AS rn
+        FROM norm),
+    rec AS (
+        SELECT bucket, id, n_tokens, rn,
+               0 AS seq_idx, n_tokens AS fill
+        FROM base WHERE rn = 1
+        UNION ALL
+        SELECT b.bucket, b.id, b.n_tokens, b.rn,
+               CASE WHEN r.fill + b.n_tokens > 128
+                    THEN r.seq_idx + 1 ELSE r.seq_idx END,
+               CASE WHEN r.fill + b.n_tokens > 128
+                    THEN b.n_tokens ELSE r.fill + b.n_tokens END
+        FROM rec r JOIN base b ON b.bucket = r.bucket AND b.rn = r.rn + 1)
+    SELECT bucket, id, n_tokens, CAST(seq_idx AS INT) AS seq_idx FROM rec
+"""
+
+
 def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Length-stratified deterministic sampling: content-keyed md5-threshold
     keep decisions (stable under repartitioning, engine-portable — the
@@ -3172,6 +3211,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "importance_sample": _q_importance_sample,
         "semdedup": _q_semdedup,
         "chunk_documents": _q_chunk_documents,
+        "pack_sequences": _q_pack_sequences,
         "doc_cells": _q_doc_cells,
         "spatial_join": _q_spatial_join,
         "zonal_stats_const": _q_zonal_const,
@@ -3233,6 +3273,7 @@ def oracle_sql() -> dict[str, str]:
         "importance_sample": _oracle_importance_sample(),
         "semdedup": _oracle_semdedup(),
         "chunk_documents": _ORACLE_CHUNK_DOCUMENTS,
+        "pack_sequences": _ORACLE_PACK_SEQUENCES,
         "spatial_join": _oracle_spatial_join(),
         "zonal_stats_const": _zonal_oracle(_CONST_VALUE, 2),
         "zonal_stats_arith": _zonal_oracle(_ARITH_VALUE, 2),

@@ -280,6 +280,69 @@ def chunk_documents(
     )
 
 
+def pack_sequences(
+    df: DataFrame,
+    capacity: int = 128,
+    bucket_col: str = "bucket",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Greedy next-fit sequence packing — fill fixed-size context windows
+    with whole documents (the training-batch packing step): within each
+    bucket, docs are scanned in id order and appended to the current
+    sequence until the next doc would overflow ``capacity`` tokens, which
+    opens a new sequence. A doc longer than capacity gets its own sequence
+    (chunk first via chunk_documents if that matters).
+    -> (bucket, id, n_tokens, seq_idx).
+
+    Distributed shape: packing is inherently sequential, so it runs
+    per-bucket (one Arrow group each) — exactly how production packing
+    shards: a deterministic bucket key partitions the corpus, each
+    executor packs its buckets independently, determinism comes from the
+    in-bucket id order, not from partitioning."""
+    import pandas as pd
+
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    t = F.regexp_replace(F.lower(F.trim(F.col(text_col))), "\\s+", " ")
+    toks = df.select(
+        F.col(bucket_col).cast("int").alias("bucket"),
+        F.col(id_col).cast("long").alias("id"),
+        F.size(F.split(t, " ")).cast("int").alias("n_tokens"),
+    )
+    schema = StructType(
+        [
+            StructField("bucket", IntegerType()),
+            StructField("id", LongType()),
+            StructField("n_tokens", IntegerType()),
+            StructField("seq_idx", IntegerType()),
+        ]
+    )
+    cap = int(capacity)
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("id").reset_index(drop=True)
+        bins, fill, b = [], 0, 0
+        first = True
+        for n in pdf["n_tokens"]:
+            if not first and fill + n > cap:
+                b += 1
+                fill = n
+            else:
+                fill += n
+            first = False
+            bins.append(b)
+        pdf["seq_idx"] = pd.Series(bins, dtype="int32")
+        return pdf[["bucket", "id", "n_tokens", "seq_idx"]]
+
+    return toks.groupBy("bucket").applyInPandas(pack, schema=schema)
+
+
 def text_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Normalized content fingerprint: lower -> collapse whitespace -> md5.
     (The exact-dedup key; a rolling-hash analog lives in dedup.simhash.)"""

@@ -242,6 +242,39 @@ def test_chunk_documents_windows(spark):
         chunk_documents(docs, chunk_tokens=16, overlap=16)
 
 
+def test_pack_sequences_invariants(spark):
+    """Next-fit packing: no sequence over capacity (unless a single doc
+    exceeds it), ids within a bucket pack in order (seq_idx nondecreasing),
+    greedy property (a new sequence opens ONLY on overflow), and the result
+    is repartition-stable."""
+    from openeo_geotrellis_extensions_spark.pipeline.text import pack_sequences
+
+    docs = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .withColumn("bucket", (F.col("doc_id") % 8).cast("int"))
+    )
+    out = pack_sequences(docs, capacity=128).collect()
+    assert len(out) == docs.count()
+    by_bucket = {}
+    for r in out:
+        by_bucket.setdefault(r.bucket, []).append(r)
+    for rows in by_bucket.values():
+        rows.sort(key=lambda r: r.id)
+        seqs = {}
+        prev_seq = 0
+        for r in rows:
+            assert r.seq_idx >= prev_seq  # nondecreasing in id order
+            prev_seq = r.seq_idx
+            seqs.setdefault(r.seq_idx, []).append(r.n_tokens)
+        for idx in sorted(seqs):
+            total = sum(seqs[idx])
+            assert total <= 128 or len(seqs[idx]) == 1  # capacity respected
+            if idx + 1 in seqs:  # greedy: the next seq's head did not fit
+                assert total + seqs[idx + 1][0] > 128
+    again = pack_sequences(docs.repartition(17), capacity=128).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
 def test_semdedup_cluster_scoped_pruning(spark):
     """SemDeDup: within each quantizer cluster, every vector cosine-similar
     to a lower-id vector is dropped (keep-lowest-id per epsilon-ball);
