@@ -122,6 +122,7 @@ def test_no_unjustified_cartesian_in_any_registered_query(spark):
         "knn_cosine",          # exact rerank primitive: bounded 20-query side
         "ivf_ann",             # crossJoin(broadcast(centroids)), n_lists=16 rows
         "tfidf",               # crossJoin(broadcast(N)), a single scalar row
+        "unigram_lm",          # crossJoin(broadcast(totals)), one scalar row
         "zonal_stats_const",   # dense restore: crossJoin of tiny date/band dims
         "zonal_stats_arith",   # dense restore: crossJoin of tiny date/band dims
         "aggregate_temporal",  # dense interval fill: tiny interval dim
