@@ -108,8 +108,13 @@ class ResumableWriter:
         return os.path.join(self.out_dir, COMMITS_DIR)
 
     def commits(self) -> list[dict]:
-        """All committed attempts, in commit-file order (the reconciliation
-        order: the FIRST commit naming a bucket wins it)."""
+        """Effective commit list, in commit-file order (the reconciliation
+        order: the FIRST commit naming a bucket wins it). A compaction
+        commit (kind=compact) snapshots the merged state of every commit at
+        or before its ``supersedes_through`` filename; only the LATEST
+        compaction and the commits after it are returned — so the listing
+        and parse cost stays O(commits since last compact), not O(all
+        attempts ever)."""
         cdir = self._commits_dir()
         out = []
         for name in self.fs.listdir(cdir):
@@ -117,7 +122,17 @@ class ResumableWriter:
                 rec = json.loads(self.fs.read_text(os.path.join(cdir, name)))
                 rec["_file"] = name
                 out.append(rec)
-        return out
+        compacts = [c for c in out if c.get("kind") == "compact"]
+        if not compacts:
+            return out
+        snap = compacts[-1]
+        after = [
+            c
+            for c in out
+            if c["_file"] > snap["supersedes_through"]
+            and c.get("kind") != "compact"
+        ]
+        return [snap] + after
 
     def completed_buckets(self) -> set[str]:
         done: set[str] = set()
@@ -244,6 +259,64 @@ class ResumableWriter:
         if not paths:
             raise FileNotFoundError(f"no committed data under {self.out_dir}")
         return spark.read.option("basePath", self.out_dir).parquet(*paths)
+
+    def compact(self) -> str | None:
+        """Fold the current effective commit state into ONE compaction
+        commit (still create-new, no rename): carries the merged
+        bucket->files/rows maps and names the last commit it supersedes.
+        Returns the new commit filename (None when there is nothing to
+        fold). Superseded commit files become dead weight that
+        :meth:`vacuum_commits` may delete — but even undeleted they are
+        skipped at read time, so listing stays cheap."""
+        cs = self.commits()
+        if len(cs) <= 1:
+            return None
+        win_files = self._bucket_files()
+        rows: dict[str, int] = {}
+        seen: set[str] = set()
+        for c in cs:
+            for b in c["buckets"]:
+                if b not in seen:
+                    seen.add(b)
+                    rows[b] = c["rows_per_bucket"][b]
+        now = time.time()
+        attempt = uuid.uuid4().hex[:12]
+        commit = {
+            "kind": "compact",
+            "attempt": attempt,
+            "completed_at": now,
+            "supersedes_through": cs[-1]["_file"],
+            "buckets": sorted(seen),
+            "files": win_files,
+            "rows_per_bucket": rows,
+            "lineage": self.lineage,
+            "metrics": {
+                "buckets_written": 0,
+                "buckets_skipped": len(seen),
+                "rows": int(sum(rows.values())),
+                "wall_sec": 0.0,
+                "rows_per_sec": 0.0,
+                "finished_at": now,
+                "compacted_commits": len(cs),
+            },
+        }
+        name = f"commit-{now:017.6f}-{attempt}.json"
+        self.fs.write_new(os.path.join(self._commits_dir(), name), json.dumps(commit))
+        return name
+
+    def vacuum_commits(self) -> list[str]:
+        """Delete commit files superseded by the latest compaction
+        (list + delete only). Returns the deleted filenames."""
+        cdir = self._commits_dir()
+        live = {c["_file"] for c in self.commits()}
+        dead = [
+            n
+            for n in self.fs.listdir(cdir)
+            if n.startswith("commit-") and n.endswith(".json") and n not in live
+        ]
+        for n in dead:
+            self.fs.delete(os.path.join(cdir, n))
+        return dead
 
     def vacuum(self) -> list[str]:
         """Delete data files no commit references (list + delete only).

@@ -210,6 +210,40 @@ def test_resumable_writer_partial_resume_reconciles(spark, docs_cells, tmp_path)
     assert len(ResumableWriter(out).metrics()) == 2
 
 
+def test_commit_log_compaction(spark, docs_cells, tmp_path):
+    """compact() folds the effective state into one snapshot commit:
+    reads/resume are unchanged, superseded commit files are skippable and
+    deletable, and commits published after the snapshot still apply."""
+    out = str(tmp_path / "cmp")
+    some = [
+        r.bucket for r in docs_cells.select("bucket").distinct().limit(2).collect()
+    ]
+    w = ResumableWriter(out, fs=NoRenameFS())
+    w.run(docs_cells.where(F.col("bucket").isin(some)))
+    w2 = ResumableWriter(out, fs=NoRenameFS())
+    w2.run(docs_cells)  # second commit: the remaining buckets
+    r = ResumableWriter(out)
+    assert len(r.commits()) == 2
+    before = {b: tuple(fs) for b, fs in r._bucket_files().items()}
+
+    name = ResumableWriter(out, fs=NoRenameFS()).compact()
+    assert name is not None
+    r2 = ResumableWriter(out)
+    assert len(r2.commits()) == 1  # only the snapshot is effective
+    assert {b: tuple(fs) for b, fs in r2._bucket_files().items()} == before
+    assert r2.read(spark).count() == 500
+    # resume after compaction: everything already done
+    s = ResumableWriter(out).run(docs_cells)
+    assert s["written"] == 0 and s["skipped"] == len(before)
+    # superseded commit files are deletable; state survives
+    dead = ResumableWriter(out).vacuum_commits()
+    assert len(dead) == 2
+    assert ResumableWriter(out).read(spark).count() == 500
+    assert ResumableWriter(out).completed_buckets() == set(before)
+    # a compact with nothing to fold is a no-op
+    assert ResumableWriter(out).compact() is None
+
+
 def test_manifest_lineage_and_metrics_fields(spark, docs_cells, tmp_path):
     out = str(tmp_path / "run3")
     w = ResumableWriter(out, lineage={"source": "docs", "transform": "cells@res3"})
