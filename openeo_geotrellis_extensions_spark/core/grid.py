@@ -244,6 +244,44 @@ def zindex(cols, rows):
     return z.astype(np.int64)
 
 
+#: magic masks spreading a 21-bit value into every 3rd bit (Morton-3)
+_B3 = tuple(
+    np.uint64(m)
+    for m in (
+        0x1249249249249249,
+        0x10C30C30C30C30C3,
+        0x100F00F00F00F00F,
+        0x1F0000FF0000FF,
+        0x1F00000000FFFF,
+    )
+)
+
+
+def _part1by2(v: np.ndarray) -> np.ndarray:
+    # 21-bit domain: 3 x 21 = 63 bits keeps the interleave in int64 —
+    # the SfCurve Z3 layout the reference's space-time index uses
+    v = v.astype(np.uint64) & np.uint64(0x1FFFFF)
+    v = (v | (v << np.uint64(32))) & _B3[4]
+    v = (v | (v << np.uint64(16))) & _B3[3]
+    v = (v | (v << np.uint64(8))) & _B3[2]
+    v = (v | (v << np.uint64(4))) & _B3[1]
+    v = (v | (v << np.uint64(2))) & _B3[0]
+    return v
+
+
+def zindex3(cols, rows, times):
+    """Vectorized Morton-3 interleave of (col, row, day-index) -> int64 —
+    the reference's space-time Z-curve (SfCurveZSpaceTimeKeyIndex.byDay,
+    geotrellis-common zcurve/; exercised by its Z3Test). A sortable
+    clustering key for spacetime cubes: pass to ResumableWriter(order_by=)
+    so range scans windowed in x, y AND time prune row groups."""
+    c = np.asarray(cols)
+    r = np.asarray(rows)
+    t = np.asarray(times)
+    z = _part1by2(c) | (_part1by2(r) << np.uint64(1)) | (_part1by2(t) << np.uint64(2))
+    return z.astype(np.int64)
+
+
 # ---------------------------------------------------------------------------
 # Hierarchical cells (H3/S2 analog): quadtree over WORLD_EXTENT
 # ---------------------------------------------------------------------------

@@ -93,6 +93,46 @@ def zindex_col(col: Column, row: Column) -> Column:
     ).cast("long")
 
 
+#: Morton-3 spreading masks (core.grid._B3 mirror)
+_MORTON3_MASKS = (
+    0x1249249249249249,
+    0x10C30C30C30C30C3,
+    0x100F00F00F00F00F,
+    0x1F0000FF0000FF,
+    0x1F00000000FFFF,
+)
+
+
+def _part1by2_col(v: Column) -> Column:
+    """Spread the low 21 bits of ``v`` into every 3rd bit — the Column
+    mirror of core.grid._part1by2 (pure shifts/masks, codegen-friendly)."""
+    m = _MORTON3_MASKS
+    v = v.bitwiseAND(F.lit(0x1FFFFF))
+    v = (v.bitwiseOR(F.shiftleft(v, 32))).bitwiseAND(F.lit(m[4]))
+    v = (v.bitwiseOR(F.shiftleft(v, 16))).bitwiseAND(F.lit(m[3]))
+    v = (v.bitwiseOR(F.shiftleft(v, 8))).bitwiseAND(F.lit(m[2]))
+    v = (v.bitwiseOR(F.shiftleft(v, 4))).bitwiseAND(F.lit(m[1]))
+    v = (v.bitwiseOR(F.shiftleft(v, 2))).bitwiseAND(F.lit(m[0]))
+    return v
+
+
+def zindex3_col(col: Column, row: Column, time_index: Column) -> Column:
+    """Morton-3 (x, y, day-index) interleave as a pure Column expression —
+    the reference's space-time Z-curve (SfCurveZSpaceTimeKeyIndex.byDay)
+    as a clustering key: sortWithinPartitions on it before a partitioned
+    write keeps parquet min/max stats tight in x, y AND time
+    (numpy mirror: core/grid.py:zindex3, bit-for-bit)."""
+    c = col.cast("long")
+    r = row.cast("long")
+    t = time_index.cast("long")
+    return (
+        _part1by2_col(c)
+        .bitwiseOR(F.shiftleft(_part1by2_col(r), 1))
+        .bitwiseOR(F.shiftleft(_part1by2_col(t), 2))
+        .cast("long")
+    )
+
+
 _COVER_SCHEMA = StructType(
     [
         StructField("feature_index", IntegerType()),

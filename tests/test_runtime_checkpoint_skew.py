@@ -262,6 +262,49 @@ def test_manifest_lineage_and_metrics_fields(spark, docs_cells, tmp_path):
     assert m["rows"] == 500 and m["rows_per_sec"] > 0
 
 
+def test_zindex3_spacetime_curve(spark):
+    """Morton-3 (x, y, t): Column == numpy bit-for-bit, agrees with a naive
+    per-bit interleave, and restricting any two axes to a constant makes it
+    monotone in the third (the Z-curve locality property)."""
+    import numpy as np
+
+    from openeo_geotrellis_extensions_spark.core.grid import zindex3
+    from openeo_geotrellis_extensions_spark.operators.spatial_join import (
+        zindex3_col,
+    )
+
+    df = spark.range(3000).select(
+        (F.col("id") % 37).cast("int").alias("c"),
+        (F.col("id") * 7 % 53).cast("int").alias("r"),
+        (F.col("id") * 13 % 29).cast("int").alias("t"),
+    ).withColumn("z", zindex3_col(F.col("c"), F.col("r"), F.col("t")))
+    got = df.collect()
+    want = zindex3(
+        [x.c for x in got], [x.r for x in got], [x.t for x in got]
+    )
+    assert [x.z for x in got] == list(want)
+
+    def naive(c, r, t):
+        z = 0
+        for b in range(21):
+            z |= ((c >> b) & 1) << (3 * b)
+            z |= ((r >> b) & 1) << (3 * b + 1)
+            z |= ((t >> b) & 1) << (3 * b + 2)
+        return z
+
+    rng = np.random.RandomState(3)
+    cs = rng.randint(0, 1 << 21, 200)
+    rs = rng.randint(0, 1 << 21, 200)
+    ts = rng.randint(0, 1 << 21, 200)
+    assert list(zindex3(cs, rs, ts)) == [
+        naive(int(a), int(b), int(d)) for a, b, d in zip(cs, rs, ts)
+    ]
+    # axis monotonicity at fixed other axes
+    ts2 = np.arange(1000)
+    z = zindex3(np.full(1000, 5), np.full(1000, 9), ts2)
+    assert (np.diff(z) > 0).all()
+
+
 def test_zindex_col_matches_numpy_and_writer_clusters(spark, tmp_path):
     """zindex_col == core.grid.zindex bit-for-bit; ResumableWriter(order_by=
     zindex) lays each bucket file out in Z-order (monotone key per file)."""
