@@ -301,6 +301,44 @@ def distance_to_geometry(geom: Geometry, xs: np.ndarray, ys: np.ndarray) -> np.n
     return dist
 
 
+def reproject_geometry(
+    geom: Geometry, src_crs: str, dst_crs: str, densify: int = 0
+) -> Geometry:
+    """Reproject a geometry by transforming its vertices through the
+    closed-form CRS engine (ProjectedPolygons.reproject parity — geotrellis
+    likewise maps vertices; ``densify`` inserts N extra points per edge
+    first, so long edges follow the curved image of the line under
+    non-affine warps like UTM/LAEA instead of cutting the chord)."""
+    from .proj import point_transform
+
+    pt = point_transform(src_crs, dst_crs)
+    if geom.kind in ("Point", "MultiPoint"):
+        x, y = pt(geom.points[:, 0], geom.points[:, 1])
+        return Geometry(geom.kind, points=np.column_stack([x, y]))
+
+    def _dense(ring: np.ndarray) -> np.ndarray:
+        if densify <= 0:
+            return ring
+        closed = np.vstack([ring, ring[:1]]) if not np.array_equal(
+            ring[0], ring[-1]
+        ) else ring
+        out = []
+        for a, b in zip(closed[:-1], closed[1:]):
+            ts = np.linspace(0.0, 1.0, densify + 2)[:-1, None]
+            out.append(a + ts * (b - a))
+        return np.vstack(out)
+
+    polys = []
+    for poly in geom.polygons:
+        rings = []
+        for ring in poly:
+            d = _dense(ring)
+            x, y = pt(d[:, 0], d[:, 1])
+            rings.append(np.column_stack([x, y]))
+        polys.append(rings)
+    return Geometry(geom.kind, polygons=polys)
+
+
 def geometry_to_geojson(geom: Geometry) -> str:
     if geom.kind == "Point":
         return json.dumps({"type": "Point", "coordinates": list(geom.points[0])})

@@ -184,3 +184,49 @@ def test_distance():
 def test_rect_geometry():
     g = rect_geometry(Extent(0, 0, 2, 2))
     assert points_in_geometry(g, np.array([1.0]), np.array([1.0]))[0]
+
+
+def test_reproject_geometry_vertices_and_densify():
+    """ProjectedPolygons.reproject parity: vertices map through the CRS
+    engine (round-trip identity), area of a UTM-projected polygon matches
+    the geodesic expectation, and densify inserts edge points that follow
+    the warped edge."""
+    import numpy as np
+
+    from openeo_geotrellis_extensions_spark.core.geom import (
+        from_geojson,
+        reproject_geometry,
+    )
+    from openeo_geotrellis_extensions_spark.core.proj import point_transform
+
+    sq = from_geojson(
+        '{"type": "Polygon", "coordinates": [[[3.0, 50.0], [3.1, 50.0],'
+        ' [3.1, 50.1], [3.0, 50.1], [3.0, 50.0]]]}'
+    )
+    utm = reproject_geometry(sq, "EPSG:4326", "EPSG:32631")
+    back = reproject_geometry(utm, "EPSG:32631", "EPSG:4326")
+    np.testing.assert_allclose(
+        back.polygons[0][0], sq.polygons[0][0], atol=1e-8
+    )
+    # shoelace area of the projected ring ~ 0.1 deg x 0.1 deg at 50N
+    r = utm.polygons[0][0]
+    x, y = r[:, 0], r[:, 1]
+    area = 0.5 * abs(
+        np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1))
+    )
+    expect = (0.1 * 111_320 * np.cos(np.radians(50.05))) * (0.1 * 111_132)
+    assert abs(area / expect - 1.0) < 0.01
+
+    dense = reproject_geometry(sq, "EPSG:4326", "EPSG:32631", densify=8)
+    ring = dense.polygons[0][0]
+    assert len(ring) == 4 * 9  # 8 inserted per edge + original vertices
+    # densified points lie on the true warped edge (each inserted vertex
+    # is the projection of the source-space lerp, t = k/9 along the edge)
+    pt = point_transform("EPSG:4326", "EPSG:32631")
+    ex, ey = pt(np.array([3.0 + 0.1 * 4 / 9]), np.array([50.0]))
+    d = np.hypot(ring[:, 0] - ex[0], ring[:, 1] - ey[0]).min()
+    assert d < 1e-6
+
+    p = from_geojson('{"type": "Point", "coordinates": [10.0, 52.0]}')
+    laea = reproject_geometry(p, "EPSG:4326", "EPSG:3035")
+    assert abs(laea.points[0, 0] - 4321000.0) < 1e-6
