@@ -287,6 +287,57 @@ def skew_ab() -> dict:
         spark.stop()
 
 
+def ckpt_overhead_ab() -> dict:
+    """A/B: what does checkpoint-resumability COST? The identical 4M-row
+    bucketed dataset written (a) bare: repartition(bucket) +
+    write.partitionBy, and (b) through ResumableWriter (adds the done-set
+    read, count, file-listing diff, and the commit publication). Reports
+    wall seconds for each — the delta is the price of resume + lineage."""
+    import shutil
+    import tempfile
+
+    from openeo_geotrellis_extensions_spark.runtime.checkpoint import ResumableWriter
+
+    spark = build_spark(CPUS)
+    base = tempfile.mkdtemp(prefix="bench_ckpt_ovh_")
+    try:
+        n = 4_000_000
+        df = spark.range(n).select(
+            F.col("id"),
+            F.sha2(F.col("id").cast("string"), 256).alias("payload"),
+            F.pmod(F.xxhash64("id"), F.lit(64)).cast("string").alias("bucket"),
+        )
+        # alternate A B A B (fresh out dirs) and take min per variant: the
+        # first write of a session pays JVM/codegen warmup whoever runs it
+        times: dict[str, list[float]] = {"bare": [], "resumable": []}
+        for rep in range(2):
+            for name in ["bare", "resumable"]:
+                out = f"{base}/{name}_{rep}"
+                t0 = time.time()
+                if name == "bare":
+                    (
+                        df.repartition(F.col("bucket"))
+                        .write.mode("append")
+                        .partitionBy("bucket")
+                        .parquet(out)
+                    )
+                else:
+                    ResumableWriter(out).run(df)
+                times[name].append(round(time.time() - t0, 3))
+        report = {
+            "bare": min(times["bare"]),
+            "resumable": min(times["resumable"]),
+            "all_trials": times,
+        }
+        report["overhead_pct"] = round(
+            (report["resumable"] / report["bare"] - 1.0) * 100.0, 1
+        )
+        return report
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+        spark.stop()
+
+
 def main() -> None:
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     import duckdb
@@ -296,6 +347,9 @@ def main() -> None:
     ).fetchone()[0]
     n_docs = n_rows * DOCS_MULTIPLIER
 
+    if "--ckpt-overhead-ab" in sys.argv:
+        print(json.dumps({"ckpt_overhead_ab": ckpt_overhead_ab()}))
+        return
     if "--zorder-ab" in sys.argv:
         print(json.dumps({"zorder_ab": zorder_ab()}))
         return
