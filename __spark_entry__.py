@@ -146,6 +146,84 @@ def entry(spark: SparkSession) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _q_media_zonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FLAGSHIP end to end, oracle-gated (entry()'s pipeline): interleaved
+    docs -> media-span datacube (load_collection analog) -> aggregate_spatial
+    zonal stats per (date, feature, band). The oracle reconstructs the
+    referenced tile keys from the doc formulas, regenerates every pixel,
+    PIPs against the same rects, and aggregates — the whole north-star path
+    value-checked, not just smoke-checked."""
+    docs = synth_docs(spark, _n_docs(spark, sf_dir))
+    cube = media_cube(docs, tile_size=16)
+    feats = _features_df(
+        spark,
+        [(0, 3.89995, 50.59995, 4.80005, 51.50005), (1, -180.0, -90.0, 180.0, 90.0)],
+    )
+    out = aggregate_spatial(cube, feats, round_to=6)
+    return out.select(
+        F.date_format("time", "yyyy-MM-dd").alias("date"),
+        "feature_index",
+        "band",
+        F.col("count").cast("long").alias("count"),
+        F.col("mean").cast("double").alias("mean"),
+    )
+
+
+def _oracle_media_zonal() -> str:
+    a = doc_attr_sql("d.doc_id")
+    dates = " UNION ALL ".join(
+        f"SELECT {i} AS di, '{dt}' AS date" for i, dt in enumerate(DATES)
+    )
+    feats = (
+        "SELECT 0 AS feature_index, CAST(3.89995 AS DOUBLE) AS x0, "
+        "CAST(50.59995 AS DOUBLE) AS y0, CAST(4.80005 AS DOUBLE) AS x1, "
+        "CAST(51.50005 AS DOUBLE) AS y1 "
+        "UNION ALL SELECT 1, -180.0, -90.0, 180.0, 90.0"
+    )
+    return f"""
+        WITH dates AS ({dates}),
+        feats AS ({feats}),
+        bands AS (SELECT 0 AS band UNION ALL SELECT 1),
+        spans AS (
+            SELECT DISTINCT
+                   CAST({a['tile_col']} AS INT) AS c,
+                   CAST({a['tile_row']} AS INT) AS r,
+                   CAST((d.doc_id + j.j) % 4 AS INT) AS di,
+                   CAST(j.j % 2 AS INT) AS band
+            FROM documents d,
+                 LATERAL (SELECT CAST(unnest(range(0, 2 + d.doc_id % 4))
+                                 AS INT) AS j) j
+            WHERE (d.doc_id + j.j) % 3 >= 2),
+        px AS (SELECT CAST(px AS INT) AS px FROM generate_series(0, 15) t(px)),
+        py AS (SELECT CAST(py AS INT) AS py FROM generate_series(0, 15) t(py)),
+        pixels AS (
+            SELECT dd.date, s.band, s.c, s.r,
+                   -180.0 + (s.c * 16 + px.px + 0.5) * 0.0439453125 AS x,
+                   90.0 - (s.r * 16 + py.py + 0.5) * 0.0439453125 AS y,
+                   CASE WHEN (s.c + s.r + px.px + py.py) % 23 = 0 THEN NULL
+                        ELSE CAST((s.c * 31 + s.r * 17 + s.di * 11
+                                   + s.band * 7 + py.py * 5 + px.px * 3) % 100
+                                  AS DOUBLE)
+                   END AS v
+            FROM spans s JOIN dates dd ON dd.di = s.di, px, py),
+        stats AS (
+            SELECT p.date, f.feature_index, p.band,
+                   CAST(COUNT(p.v) AS BIGINT) AS count,
+                   ROUND(AVG(p.v), 6) AS mean
+            FROM pixels p JOIN feats f
+              ON p.x > f.x0 AND p.x < f.x1 AND p.y > f.y0 AND p.y < f.y1
+            GROUP BY p.date, f.feature_index, p.band),
+        dense AS (
+            SELECT d.date, f.feature_index, b.band FROM dates d, feats f, bands b)
+        SELECT dn.date, dn.feature_index, dn.band,
+               COALESCE(s.count, 0) AS count, s.mean
+        FROM dense dn
+        LEFT JOIN stats s
+          ON s.date = dn.date AND s.feature_index = dn.feature_index
+         AND s.band = dn.band
+    """
+
+
 def _q_doc_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tiling assignment: every doc's geometry -> (tile_col, tile_row) in the
     world media layout + hot-cell flag. Engine path: GeoJSON parse (Arrow UDF)
@@ -3215,6 +3293,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup": _q_semdedup,
         "chunk_documents": _q_chunk_documents,
         "pack_sequences": _q_pack_sequences,
+        "media_zonal": _q_media_zonal,
         "stratified_sample": _q_stratified_sample,
         "pii_redact": _q_pii_redact,
         "quality_classifier": _q_quality_classifier,
@@ -3271,6 +3350,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "doc_cells": _oracle_doc_cells(),
+        "media_zonal": _oracle_media_zonal(),
         "span_invariant": _ORACLE_SPAN_INVARIANT,
         "unigram_lm": _ORACLE_UNIGRAM_LM,
         "importance_sample": _oracle_importance_sample(),
