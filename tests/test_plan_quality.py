@@ -125,6 +125,7 @@ def test_no_unjustified_cartesian_in_any_registered_query(spark):
         "unigram_lm",          # crossJoin(broadcast(totals)), one scalar row
         "zonal_stats_const",   # dense restore: crossJoin of tiny date/band dims
         "zonal_stats_arith",   # dense restore: crossJoin of tiny date/band dims
+        "media_zonal",         # dense restore: crossJoin of tiny date/band dims
         "aggregate_temporal",  # dense interval fill: tiny interval dim
         "mask_polygon",        # crossJoin(broadcast(ONE row of collected feats))
     }
