@@ -1885,6 +1885,49 @@ _ORACLE_SUBSTRING_DUP_SPANS = f"""
 """
 
 
+def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: docs with doc_id % 50 == 0 play the
+    held-out benchmark; every training doc sharing an 8-word window with it
+    is flagged (GPT-3/PaLM-style n-gram overlap filtering). Broadcast
+    benchmark windows, map-side join — no shuffle of the training corpus."""
+    from openeo_geotrellis_extensions_spark.pipeline.dedup import (
+        ngram_contamination,
+    )
+
+    docs = spark.read.parquet(_DOCS.format(sf=sf_dir))
+    bench = docs.where(F.col("doc_id") % 50 == 0)
+    train = docs.where(F.col("doc_id") % 50 != 0)
+    return ngram_contamination(train, bench, n=8).select(
+        F.col("id").cast("long").alias("id"),
+        "n_windows",
+        "n_contaminated",
+        "contaminated",
+    )
+
+
+_ORACLE_DECONTAMINATE = r"""
+    WITH norm AS (SELECT doc_id,
+                         regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+                  FROM documents),
+    w AS (SELECT doc_id, string_split(t, ' ') AS words FROM norm),
+    wins AS (
+        SELECT doc_id, array_to_string(words[i:i+7], ' ') AS g
+        FROM (SELECT doc_id, words,
+                     unnest(range(1, greatest(len(words) - 6, 1))) AS i
+              FROM w WHERE len(words) >= 8)),
+    bench AS (SELECT DISTINCT g FROM wins WHERE doc_id % 50 = 0),
+    train AS (SELECT doc_id, g FROM wins WHERE doc_id % 50 != 0)
+    SELECT t.doc_id AS id,
+           CAST(COUNT(*) AS INT) AS n_windows,
+           CAST(SUM(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) AS INT)
+             AS n_contaminated,
+           SUM(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) > 0
+             AS contaminated
+    FROM train t LEFT JOIN bench b USING (g)
+    GROUP BY 1
+"""
+
+
 def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(_DOCS.format(sf=sf_dir))
     return ngram_jaccard_pairs(docs, threshold=0.05).select(
@@ -3294,6 +3337,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": _q_chunk_documents,
         "pack_sequences": _q_pack_sequences,
         "media_zonal": _q_media_zonal,
+        "decontaminate": _q_decontaminate,
         "stratified_sample": _q_stratified_sample,
         "pii_redact": _q_pii_redact,
         "quality_classifier": _q_quality_classifier,
@@ -3351,6 +3395,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "doc_cells": _oracle_doc_cells(),
         "media_zonal": _oracle_media_zonal(),
+        "decontaminate": _ORACLE_DECONTAMINATE,
         "span_invariant": _ORACLE_SPAN_INVARIANT,
         "unigram_lm": _ORACLE_UNIGRAM_LM,
         "importance_sample": _oracle_importance_sample(),

@@ -407,6 +407,41 @@ def connected_components(
     return labels
 
 
+def ngram_contamination(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination — flag training documents sharing any
+    ``n``-word window with an evaluation/benchmark corpus (the standard
+    n-gram-overlap contamination check, e.g. GPT-3 appendix C / PaLM
+    13-gram filtering, here over word windows).
+    -> (id, n_windows, n_contaminated, contaminated).
+
+    Scale shape: the benchmark side is small by definition, so its DISTINCT
+    window set BROADCASTS and the check is a map-side join over the corpus
+    windows — no shuffle of the training data, no quadratic anything; a
+    boilerplate window appearing in millions of docs just matches the one
+    broadcast row per occurrence."""
+    doc_w = word_ngrams(df, text_col, id_col, n, distinct=False)
+    bench_w = (
+        word_ngrams(benchmark, text_col, id_col, n, distinct=True)
+        .select("ngram")
+        .distinct()
+    )
+    hit = doc_w.join(
+        F.broadcast(bench_w.withColumn("_hit", F.lit(1))), "ngram", "left"
+    )
+    return hit.groupBy("id").agg(
+        F.count("*").cast("int").alias("n_windows"),
+        F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("int").alias(
+            "n_contaminated"
+        ),
+    ).withColumn("contaminated", F.col("n_contaminated") > 0)
+
+
 def semdedup(
     emb: DataFrame,
     threshold: float = 0.9,

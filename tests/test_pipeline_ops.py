@@ -242,6 +242,33 @@ def test_chunk_documents_windows(spark):
         chunk_documents(docs, chunk_tokens=16, overlap=16)
 
 
+def test_ngram_contamination_planted(spark):
+    """Decontamination: a training doc embedding a benchmark 8-gram is
+    flagged with the right window counts; clean docs are not; short docs
+    (<n words) are excluded like every n-gram consumer."""
+    from openeo_geotrellis_extensions_spark.pipeline.dedup import (
+        ngram_contamination,
+    )
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog tonight")],
+        ["doc_id", "text"],
+    )
+    train = spark.createDataFrame(
+        [
+            (0, "intro words then the quick brown fox jumps over the lazy dog tonight and more"),
+            (1, "totally unrelated text with nine or ten words here today"),
+            (2, "short doc"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.id: r for r in ngram_contamination(train, bench, n=8).collect()}
+    assert out[0].contaminated and out[0].n_contaminated == 3  # 3 shared windows
+    assert out[0].n_windows == 15 - 8 + 1
+    assert not out[1].contaminated and out[1].n_contaminated == 0
+    assert 2 not in out  # <8 words: no windows, excluded
+
+
 def test_pack_sequences_invariants(spark):
     """Next-fit packing: no sequence over capacity (unless a single doc
     exceeds it), ids within a bucket pack in order (seq_idx nondecreasing),
