@@ -45,10 +45,42 @@ MEDIA_SCHEMA = StructType(
 )
 
 
+def _resolve_media_ref(ref: str, tile_size: int):
+    """One media ref -> uint8 pixel array. Schemes:
+    - ``tile://z/c/r/date/band``: deterministic synthetic pixels (the
+      catalog-tile shape of the interleaved fixture);
+    - ``data:image/png;base64,..`` / ``data:image/jpeg;base64,..``:
+      embedded images decoded through the repo's OWN codecs
+      (sinks/png.py, sinks/jpeg.py — no external libs);
+    - ``file://<path>``: executor-local read, format by extension
+      (.png/.jpg/.jpeg), same codecs.
+    Anything else (http, video containers) raises — the honest seam for a
+    fetcher/ffmpeg that this environment does not have."""
+    if ref.startswith("tile://"):
+        z, c, r, date, band = parse_tile_ref(ref)
+        return media_tile_values(c, r, DATES.index(date), band, tile_size)
+    if ref.startswith("data:image/"):
+        import base64
+
+        head, _, payload = ref.partition(",")
+        fmt = head[len("data:image/"):].split(";", 1)[0]
+        if not head.endswith(";base64") or not payload:
+            raise ValueError(f"unsupported data URI shape: {head!r}")
+        return decode_image(base64.b64decode(payload), fmt)
+    if ref.startswith("file://"):
+        path = ref[len("file://"):]
+        ext = path.rsplit(".", 1)[-1].lower()
+        with open(path, "rb") as f:
+            return decode_image(f.read(), ext)
+    raise NotImplementedError(
+        f"no codec/fetcher for {ref!r} (tile://, data:image/png;base64, "
+        "data:image/jpeg;base64 and file:// resolve here)"
+    )
+
+
 def fetch_media(docs: DataFrame, tile_size: int = 16) -> DataFrame:
-    """media spans -> opaque binary content + typed metadata. ``tile://`` refs
-    resolve to deterministic synthetic pixels; any other scheme raises (no
-    codecs in this environment — the decode seam for rasterio/PIL/ffmpeg)."""
+    """media spans -> opaque binary content + typed metadata (raw uint8
+    pixels + width/height/dtype). Ref resolution: see _resolve_media_ref."""
     spans = explode_spans(docs).where(F.col("kind") == "media").select(
         "doc_id", "span_idx", "media_ref"
     )
@@ -57,12 +89,7 @@ def fetch_media(docs: DataFrame, tile_size: int = 16) -> DataFrame:
         for pdf in it:
             rows = []
             for doc_id, si, ref in zip(pdf["doc_id"], pdf["span_idx"], pdf["media_ref"]):
-                if not ref.startswith("tile://"):
-                    raise NotImplementedError(
-                        f"no codec for {ref!r} (only tile:// is resolvable here)"
-                    )
-                z, c, r, date, band = parse_tile_ref(ref)
-                arr = media_tile_values(c, r, DATES.index(date), band, tile_size)
+                arr = _resolve_media_ref(ref, tile_size)
                 buf = arr.tobytes()
                 rows.append(
                     (doc_id, int(si), ref, buf, arr.shape[1], arr.shape[0],

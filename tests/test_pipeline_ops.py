@@ -135,6 +135,64 @@ def test_multimodal_codec_seams():
         sample_frames(b"...")
 
 
+def test_media_refs_data_uri_and_file(spark, tmp_path):
+    """Media refs beyond tile://: data:image/{png,jpeg};base64 and file://
+    resolve through the repo's own codecs; unsupported schemes still raise."""
+    import base64
+
+    import numpy as np
+
+    from openeo_geotrellis_extensions_spark.pipeline.multimodal import (
+        _resolve_media_ref,
+        fetch_media,
+        media_features,
+    )
+    from openeo_geotrellis_extensions_spark.sinks.jpeg import encode_jpeg
+    from openeo_geotrellis_extensions_spark.sinks.png import encode_png_bytes
+
+    img = (np.arange(96).reshape(8, 12) * 2 % 251).astype(np.uint8)
+    png_b64 = base64.b64encode(encode_png_bytes(img)).decode()
+    p = tmp_path / "x.png"
+    p.write_bytes(encode_png_bytes(img))
+    jpg = encode_jpeg(img, quality=95)
+
+    # direct resolution round-trips PNG bit-exact; JPEG within lossy bounds
+    np.testing.assert_array_equal(
+        _resolve_media_ref(f"data:image/png;base64,{png_b64}", 16), img
+    )
+    np.testing.assert_array_equal(_resolve_media_ref(f"file://{p}", 16), img)
+    jarr = _resolve_media_ref(
+        "data:image/jpeg;base64," + base64.b64encode(jpg).decode(), 16
+    )
+    assert jarr.shape == img.shape
+    assert float(np.abs(jarr.astype(float) - img).mean()) < 12.0
+
+    # through the Spark pipeline: spans with mixed schemes
+    docs = spark.createDataFrame(
+        [
+            (
+                "d0",
+                [
+                    ("media", None, f"data:image/png;base64,{png_b64}", 0),
+                    ("media", None, f"file://{p}", 20),
+                ],
+            )
+        ],
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>",
+    )
+    media = fetch_media(docs)
+    rows = media.collect()
+    assert len(rows) == 2
+    assert all(r.width == 12 and r.height == 8 and r.dtype == "uint8" for r in rows)
+    stats = {r.span_idx: r for r in media_features(media, nodata=255).collect()}
+    want_mean = round(float(img[img != 255].mean()), 6)
+    assert abs(stats[0].mean_px - want_mean) < 1e-9
+
+    with pytest.raises(NotImplementedError, match="no codec/fetcher"):
+        _resolve_media_ref("http://example.invalid/x.png", 16)
+
+
 def test_embedding_near_dups_lsh_subset_and_recall(spark, emb):
     """LSH-bucketed near-dups: every returned pair must appear in the
     brute-force result with an identical cosine (precision 1.0), and recall
