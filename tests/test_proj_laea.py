@@ -152,3 +152,29 @@ def test_resample_to_laea_keys_in_grid(spark):
         vals = tile[~np.isnan(tile)]
         assert vals.size > 0
         assert (vals == 7.0).all()
+
+
+def test_resample_bilinear_to_laea_constant(spark):
+    """Bilinear warp under a NON-separable CRS (halo exchange + 2x2 weights
+    through the LAEA inverse): a constant cube stays exactly constant on
+    valid pixels — any halo/weight bug shows as interpolation noise."""
+    from openeo_geotrellis_extensions_spark.core.tiles import decode_tile_float
+    from openeo_geotrellis_extensions_spark.operators.resample import (
+        resample_spatial,
+    )
+    from openeo_geotrellis_extensions_spark.sources.datacube import constant_cube
+
+    src_layout = LayoutDefinition(Extent(0.0, 0.0, 2.0, 2.0), 2, 2, 8, 8)
+    cube = constant_cube(spark, src_layout, band_values=[3.5], cell_type="float64")
+    tgt = utm_layout_for(src_layout, resolution=14000.0, dst_crs="EPSG:3035")
+    out = resample_spatial(cube, tgt, method="bilinear")
+    rows = out.df.collect()
+    assert rows
+    got_valid = 0
+    for r in rows:
+        tile = decode_tile_float(list(r.bands), "float64", (8, 8))[0]
+        vals = tile[~np.isnan(tile)]
+        got_valid += vals.size
+        # renormalized weights: acc/tot == 3.5 up to one ulp of float algebra
+        assert vals.size == 0 or np.abs(vals - 3.5).max() < 1e-9
+    assert got_valid > 0

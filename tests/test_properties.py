@@ -111,3 +111,59 @@ def test_cell_encode_decode(res, seed):
     cid = int(GlobalGrid.encode(res, x, y))
     rr, xx, yy = (int(v) for v in GlobalGrid.decode(cid))
     assert (rr, xx, yy) == (res, x, y)
+
+
+@given(
+    st.integers(1, 400),
+    st.integers(2, 64),
+    st.integers(0, 40),
+    st.integers(0, 10_000),
+)
+@settings(max_examples=150, deadline=None)
+def test_chunking_window_algebra(n_words, chunk, overlap, seed):
+    """Pure window math of chunk_documents, replicated in numpy: windows
+    start at multiples of (chunk - overlap); the union of windows covers
+    every token; consecutive windows share exactly `overlap` tokens except
+    the ragged tail; a short doc yields exactly one window."""
+    if overlap >= chunk:
+        return
+    step = chunk - overlap
+    n_chunks = max(1, -(-(max(n_words - overlap, 0)) // step))
+    starts = [i * step for i in range(n_chunks)]
+    ends = [min(s + chunk, n_words) for s in starts]
+    # coverage: every token index is inside some window
+    covered = np.zeros(n_words, dtype=bool)
+    for s, e in zip(starts, ends):
+        covered[s:e] = True
+    assert covered.all()
+    # window starts stay inside the doc (no fully-empty windows)
+    assert all(s < n_words for s in starts)
+    # overlap between consecutive full windows
+    for (s1, e1), (s2, e2) in zip(zip(starts, ends), zip(starts[1:], ends[1:])):
+        assert s2 == e1 - overlap or e1 < s1 + chunk  # ragged tail exempt
+    if n_words <= chunk:
+        assert n_chunks == 1
+
+
+@given(
+    st.integers(0, (1 << 21) - 1),
+    st.integers(0, (1 << 21) - 1),
+    st.integers(0, (1 << 21) - 1),
+)
+@settings(max_examples=300, deadline=None)
+def test_zindex3_bit_exact_and_ordering(c, r, t):
+    """zindex3 == per-bit interleave for arbitrary 21-bit inputs, and
+    incrementing one axis (others fixed) strictly increases the key."""
+    from openeo_geotrellis_extensions_spark.core.grid import zindex3
+
+    z = int(zindex3([c], [r], [t])[0])
+    want = 0
+    for b in range(21):
+        want |= ((c >> b) & 1) << (3 * b)
+        want |= ((r >> b) & 1) << (3 * b + 1)
+        want |= ((t >> b) & 1) << (3 * b + 2)
+    assert z == want
+    if c + 1 < (1 << 21):
+        assert int(zindex3([c + 1], [r], [t])[0]) > z
+    if t + 1 < (1 << 21):
+        assert int(zindex3([c], [r], [t + 1])[0]) > z
