@@ -2054,6 +2054,51 @@ def _oracle_simhash() -> str:
     """
 
 
+def _q_simhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-radius near-dup pairs over SimHash via the pigeonhole band
+    join: radius-3 pairs MUST share one of 4 disjoint signature bands, so
+    candidates come from an equi-join and the popcount verify is
+    candidate-scoped — guaranteed (not probabilistic) recall 1.0 in
+    hamming space."""
+    from openeo_geotrellis_extensions_spark.pipeline.dedup import (
+        simhash_near_pairs,
+    )
+
+    docs = spark.read.parquet(_DOCS.format(sf=sf_dir))
+    return simhash_near_pairs(docs, max_hamming=3, bits=32).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        "hamming",
+    )
+
+
+def _oracle_simhash_near() -> str:
+    """Brute-force mirror: the band join has guaranteed recall inside the
+    radius and the verify removes everything outside it, so the result set
+    EQUALS the all-pairs hamming filter — which DuckDB computes directly
+    over the same simhash CTE (fixture-scale all-pairs is fine in the
+    oracle; the engine path never materializes it)."""
+    sums = ", ".join(
+        f"SUM(CASE WHEN strpos('89abcdef', substring(md5(word), {p + 1}, 1)) > 0 "
+        f"THEN 1 ELSE -1 END) AS b{p}"
+        for p in range(32)
+    )
+    bits = " + ".join(
+        f"(CASE WHEN b{p} > 0 THEN 1 ELSE 0 END) * CAST({2 ** p} AS BIGINT)"
+        for p in range(32)
+    )
+    return f"""
+        WITH {_WORDS_CTE},
+        exploded AS (SELECT doc_id, unnest(words) AS word FROM w),
+        agg AS (SELECT doc_id AS id, {sums} FROM exploded GROUP BY doc_id),
+        sims AS (SELECT id, CAST({bits} AS BIGINT) AS simhash FROM agg)
+        SELECT a.id AS id_a, b.id AS id_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+        FROM sims a JOIN sims b ON a.id < b.id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """
+
+
 #: LSH params shared by the registered embedding queries and their oracles.
 #: bits are DERIVED from the corpus row count (lsh_params_for) in both
 #: engines — the oracle computes the same ceil(log2(n/target)) in SQL and
@@ -3338,6 +3383,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": _q_pack_sequences,
         "media_zonal": _q_media_zonal,
         "decontaminate": _q_decontaminate,
+        "simhash_near": _q_simhash_near,
         "stratified_sample": _q_stratified_sample,
         "pii_redact": _q_pii_redact,
         "quality_classifier": _q_quality_classifier,
@@ -3396,6 +3442,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_cells": _oracle_doc_cells(),
         "media_zonal": _oracle_media_zonal(),
         "decontaminate": _ORACLE_DECONTAMINATE,
+        "simhash_near": _oracle_simhash_near(),
         "span_invariant": _ORACLE_SPAN_INVARIANT,
         "unigram_lm": _ORACLE_UNIGRAM_LM,
         "importance_sample": _oracle_importance_sample(),

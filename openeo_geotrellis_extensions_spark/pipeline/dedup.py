@@ -307,6 +307,69 @@ def simhash_signatures(
     return agg.select("id", sim.cast("long").alias("simhash"))
 
 
+def simhash_near_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    bits: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup pairs in HAMMING space over SimHash signatures, via the
+    pigeonhole band trick: split the ``bits``-bit signature into
+    ``max_hamming + 1`` bands — any pair within hamming distance
+    ``max_hamming`` MUST agree exactly on at least one band (it has at most
+    max_hamming differing bits to spread over max_hamming + 1 disjoint
+    bands), so candidate generation is a plain equi-join on (band,
+    band_key) and the exact popcount verify runs only on candidates.
+    GUARANTEED recall 1.0 within the radius (unlike probabilistic LSH).
+    -> (id_a, id_b, hamming).
+
+    100 TB shape: one shuffle on the band key; a band shared by many docs
+    is a wide-but-flat join key (one row per doc per band), and the verify
+    is candidate-scoped — no all-pairs anywhere. Uneven widths (bits not
+    divisible by the band count) widen the last band; the pigeonhole
+    guarantee only needs the bands disjoint and covering."""
+    n_bands = max_hamming + 1
+    base = bits // n_bands
+    widths = [base] * (n_bands - 1) + [bits - base * (n_bands - 1)]
+    offsets = [sum(widths[:i]) for i in range(n_bands)]
+    sigs = simhash_signatures(df, text_col, id_col, bits)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftrightunsigned(F.col("simhash"), offsets[b])
+                .bitwiseAND(F.lit((1 << widths[b]) - 1))
+                .alias("key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    bands = sigs.select(
+        "id", "simhash", F.explode(band_structs).alias("bk")
+    ).select("id", "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = bands.select(
+        F.col("id").alias("id_a"), F.col("simhash").alias("sa"), "band", "key"
+    )
+    b = bands.select(
+        F.col("id").alias("id_b"), F.col("simhash").alias("sb"), "band", "key"
+    )
+    cand = (
+        a.join(b, ["band", "key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sa", "sb")
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming",
+            F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).cast("int"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def substring_duplicate_spans(
     df: DataFrame,
     text_col: str = "text",

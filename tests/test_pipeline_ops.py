@@ -300,6 +300,32 @@ def test_chunk_documents_windows(spark):
         chunk_documents(docs, chunk_tokens=16, overlap=16)
 
 
+def test_simhash_near_pairs_guaranteed_recall(spark):
+    """Pigeonhole hamming-band join: the result EQUALS the all-pairs
+    hamming<=3 filter (recall 1.0 by construction, precision 1.0 by the
+    verify) — checked against a numpy brute force over every pair."""
+    from openeo_geotrellis_extensions_spark.pipeline.dedup import (
+        simhash_near_pairs,
+        simhash_signatures,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    sigs = {r.id: r.simhash for r in simhash_signatures(docs, bits=32).collect()}
+    ids = sorted(sigs)
+    want = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            h = bin(sigs[a] ^ sigs[b]).count("1")
+            if h <= 3:
+                want.add((a, b, h))
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_near_pairs(docs, max_hamming=3, bits=32).collect()
+    }
+    assert got == want
+    assert want  # the fixture's near-dup docs produce real pairs
+
+
 def test_ngram_contamination_planted(spark):
     """Decontamination: a training doc embedding a benchmark 8-gram is
     flagged with the right window counts; clean docs are not; short docs
