@@ -16,7 +16,20 @@ attempts. Crashed attempts leave stray data files that no commit
 references; readers reconcile by reading ONLY files referenced by the
 winning commit per bucket (:meth:`ResumableWriter.read`), and
 :meth:`ResumableWriter.vacuum` deletes unreferenced files with plain
-list+delete (also object-store-safe).
+list+delete (also object-store-safe), skipping files younger than a
+grace window so an in-flight attempt's not-yet-committed files survive.
+
+File attribution is STRUCTURAL: every attempt writes under its own
+``rw_attempt=<id>/`` partition directory, so building a commit's file
+list is one prefix LIST of that directory — never a before/after diff of
+the whole table. Resuming a half-complete 100 TB table therefore costs
+O(files written this attempt), not two full-prefix S3 LISTs, and a file
+written by a concurrently racing attempt can never be claimed by this
+one (each lists only its own prefix). The attempt id rides as an extra
+leading partition column, which keeps the layout a plain Hive-partitioned
+parquet table: vanilla ``spark.read.parquet(out_dir)`` still works (it
+sees every attempt's files; the reconciled :meth:`read` is what
+deduplicates losers/strays).
 
 Scope note: this covers the ENGINE's manifest machinery. Spark's own
 parquet task commit still goes through its configured output committer —
@@ -40,6 +53,9 @@ from pyspark.sql import functions as F
 
 #: commit-log directory (one immutable file per completed attempt)
 COMMITS_DIR = "_commits"
+#: per-attempt partition column: every attempt's files live under their own
+#: rw_attempt=<id>/ prefix (structural file attribution, see module doc)
+ATTEMPT_COL = "rw_attempt"
 #: legacy constant kept for import compatibility — the commit log replaced
 #: the single rename-appended manifest file in round 4
 MANIFEST = COMMITS_DIR
@@ -88,6 +104,19 @@ class LocalFS:
             os.remove(path)
         except FileNotFoundError:
             pass
+
+    def mtime(self, path: str) -> float:
+        """Last-modified time (epoch seconds) — the vacuum grace window's
+        age source (object stores expose this on every LIST entry)."""
+        return os.path.getmtime(path)
+
+    def parquet_num_rows(self, path: str) -> int:
+        """Row count from the parquet FOOTER only — a ~KB-sized tail read
+        (a range GET on an object store), so per-bucket row metrics cost no
+        extra Spark action over the written data."""
+        import pyarrow.parquet as pq
+
+        return int(pq.ParquetFile(path).metadata.num_rows)
 
 
 @dataclass
@@ -164,7 +193,19 @@ class ResumableWriter:
         """Write ``df`` (must contain ``partition_col``) bucket-partitioned,
         skipping buckets already committed. Returns a summary dict. Safe to
         re-invoke after any crash: an attempt becomes visible atomically via
-        its commit file; stray files of crashed attempts are never read."""
+        its commit file; stray files of crashed attempts are never read.
+
+        One Spark action total: the write itself. Per-bucket row counts come
+        from the written parquet FOOTERS (no persist + count pre-pass), and
+        the commit's file list comes from listing ONLY this attempt's
+        ``rw_attempt=<id>/`` prefix — O(files this attempt) even when
+        resuming a table with millions of pre-existing files, and immune to
+        concurrent attempts (their files live under their own prefix)."""
+        if ATTEMPT_COL in df.columns:
+            raise ValueError(
+                f"input already has a {ATTEMPT_COL!r} column — it is reserved"
+                " for the writer's per-attempt partition directory"
+            )
         self.fs.makedirs(self.out_dir)
         self.fs.makedirs(self._commits_dir())
         attempt = uuid.uuid4().hex[:12]
@@ -180,8 +221,7 @@ class ResumableWriter:
 
         t0 = time.time()
         # one shuffle: co-locate each bucket on one task so partitionBy emits
-        # ONE file per bucket (not tasks x buckets tiny files), and persist so
-        # the count and the write share the computed input
+        # ONE file per bucket (not tasks x buckets tiny files)
         remaining = remaining.repartition(F.col(pc))
         if self.order_by:
             # leading partition_col: FileFormatWriter requires ordering on
@@ -190,32 +230,42 @@ class ResumableWriter:
             # z-order within equal-bucket runs at scale. Sorting (bucket, z)
             # here satisfies the write's required ordering directly.
             remaining = remaining.sortWithinPartitions(pc, *self.order_by)
-        remaining = remaining.persist()
-        try:
-            counts = {
-                r[pc]: r["n"]
-                for r in remaining.groupBy(pc).agg(F.count("*").alias("n")).collect()
-            }
-            skipped = len(done)
-            if not counts:
-                return {"written": 0, "skipped": skipped, "attempt": attempt, "rows": 0}
+        # the write TARGET is this attempt's own rw_attempt=<id>/ prefix —
+        # named like a Hive partition so the table stays a plain two-level
+        # partitioned layout for vanilla readers, but the attempt column
+        # never enters the Spark plan (a constant sort key would be
+        # constant-folded out of sortWithinPartitions, making the writer
+        # re-sort and destroy the z-order layout)
+        attempt_prefix = f"{ATTEMPT_COL}={attempt}"
+        (
+            remaining.write.mode("append")
+            .partitionBy(pc)
+            .parquet(os.path.join(self.out_dir, attempt_prefix))
+        )
 
-            before = self._data_files()
-            (
-                remaining.write.mode("append")
-                .partitionBy(pc)
-                .parquet(self.out_dir)
-            )
-            new_files = self._data_files() - before
-        finally:
-            remaining.unpersist()
-        wall = time.time() - t0
+        # structural attribution: list this attempt's prefix only
+        new_files = [
+            f"{attempt_prefix}/{f}"
+            for f in self.fs.walk_files(os.path.join(self.out_dir, attempt_prefix))
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        ]
+        skipped = len(done)
+        if not new_files:  # nothing remained to write: publish no commit
+            return {"written": 0, "skipped": skipped, "attempt": attempt, "rows": 0}
 
-        files_by_bucket: dict[str, list[str]] = {str(b): [] for b in counts}
+        files_by_bucket: dict[str, list[str]] = {}
         for f in sorted(new_files):
-            head = f.split("/", 1)[0]
-            if head.startswith(f"{pc}="):
-                files_by_bucket.setdefault(head.split("=", 1)[1], []).append(f)
+            seg = f.split("/")[1]  # rw_attempt=<id>/<pc>=<bucket>/part-*.parquet
+            if seg.startswith(f"{pc}="):
+                files_by_bucket.setdefault(seg.split("=", 1)[1], []).append(f)
+        counts = {
+            b: sum(
+                self.fs.parquet_num_rows(os.path.join(self.out_dir, f))
+                for f in files
+            )
+            for b, files in files_by_bucket.items()
+        }
+        wall = time.time() - t0
 
         now = time.time()
         commit = {
@@ -258,7 +308,11 @@ class ResumableWriter:
         ]
         if not paths:
             raise FileNotFoundError(f"no committed data under {self.out_dir}")
-        return spark.read.option("basePath", self.out_dir).parquet(*paths)
+        return (
+            spark.read.option("basePath", self.out_dir)
+            .parquet(*paths)
+            .drop(ATTEMPT_COL)
+        )
 
     def compact(self) -> str | None:
         """Fold the current effective commit state into ONE compaction
@@ -318,15 +372,30 @@ class ResumableWriter:
             self.fs.delete(os.path.join(cdir, n))
         return dead
 
-    def vacuum(self) -> list[str]:
+    def vacuum(self, older_than: float = 86400.0) -> list[str]:
         """Delete data files no commit references (list + delete only).
-        Returns the deleted relative paths."""
+        Returns the deleted relative paths.
+
+        ``older_than`` is the orphan-cleanup grace window (seconds, the
+        Iceberg ``older_than`` pattern): a stray younger than it is SKIPPED,
+        because it may belong to an attempt that has written its files but
+        not yet published its commit — deleting those would let the commit
+        land referencing vanished files. Pass 0.0 only when no writer can be
+        in flight (quiescent maintenance)."""
         referenced = {
             f for files in self._bucket_files().values() for f in files
         }
-        stray = sorted(self._data_files() - referenced)
-        for f in stray:
-            self.fs.delete(os.path.join(self.out_dir, f))
+        cutoff = time.time() - older_than
+        stray = []
+        for f in sorted(self._data_files() - referenced):
+            p = os.path.join(self.out_dir, f)
+            try:
+                if self.fs.mtime(p) > cutoff:
+                    continue  # grace window: possibly an in-flight attempt
+            except OSError:
+                continue  # vanished under us (racing vacuum/writer): skip
+            stray.append(f)
+            self.fs.delete(p)
         return stray
 
     def metrics(self) -> list[dict]:
