@@ -2059,13 +2059,15 @@ def _q_simhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     join: radius-3 pairs MUST share one of 4 disjoint signature bands, so
     candidates come from an equi-join and the popcount verify is
     candidate-scoped — guaranteed (not probabilistic) recall 1.0 in
-    hamming space."""
+    hamming space. 64-bit signatures -> 16-bit band keys, so spurious
+    candidates are ~C(n,2)/2^14 instead of /2^6 — the equi-join's key
+    space scales with the corpus (the r4 perf-weak item)."""
     from openeo_geotrellis_extensions_spark.pipeline.dedup import (
         simhash_near_pairs,
     )
 
     docs = spark.read.parquet(_DOCS.format(sf=sf_dir))
-    return simhash_near_pairs(docs, max_hamming=3, bits=32).select(
+    return simhash_near_pairs(docs, max_hamming=3, bits=64).select(
         F.col("id_a").cast("long").alias("id_a"),
         F.col("id_b").cast("long").alias("id_b"),
         "hamming",
@@ -2077,15 +2079,23 @@ def _oracle_simhash_near() -> str:
     radius and the verify removes everything outside it, so the result set
     EQUALS the all-pairs hamming filter — which DuckDB computes directly
     over the same simhash CTE (fixture-scale all-pairs is fine in the
-    oracle; the engine path never materializes it)."""
+    oracle; the engine path never materializes it). Bits 32-63 draw from
+    md5(word || '#') (md5 has only 32 hex digits); bit 63 is added as
+    BIGINT min — the two's-complement sign bit — mirroring the engine's
+    shiftleft(1L, 63)."""
     sums = ", ".join(
-        f"SUM(CASE WHEN strpos('89abcdef', substring(md5(word), {p + 1}, 1)) > 0 "
-        f"THEN 1 ELSE -1 END) AS b{p}"
-        for p in range(32)
+        "SUM(CASE WHEN strpos('89abcdef', substring("
+        + (f"md5(word), {p + 1}" if p < 32 else f"md5(word || '#'), {p - 31}")
+        + f", 1)) > 0 THEN 1 ELSE -1 END) AS b{p}"
+        for p in range(64)
     )
     bits = " + ".join(
-        f"(CASE WHEN b{p} > 0 THEN 1 ELSE 0 END) * CAST({2 ** p} AS BIGINT)"
-        for p in range(32)
+        [
+            f"(CASE WHEN b{p} > 0 THEN 1 ELSE 0 END) * CAST({2 ** p} AS BIGINT)"
+            for p in range(63)
+        ]
+        + ["(CASE WHEN b63 > 0 THEN CAST(-9223372036854775808 AS BIGINT)"
+           " ELSE CAST(0 AS BIGINT) END)"]
     )
     return f"""
         WITH {_WORDS_CTE},

@@ -278,23 +278,37 @@ def simhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16
 ) -> DataFrame:
     """SimHash over words using md5 hex digits as the bit source: bit p of a
-    word's hash = 1 iff hex digit p of md5(word) is in '89abcdef' (i.e. its
-    high bit). Signature bit p = sign of sum over words of (+1/-1).
-    Engine-portable (md5 + substring only). -> (id, simhash: int)."""
-    assert bits <= 32
+    word's hash = 1 iff hex digit ``p % 32`` of md5(word) (bits 0-31) or of
+    md5(word || '#') (bits 32-63) is in '89abcdef' (i.e. its high bit).
+    Signature bit p = sign of sum over words of (+1/-1). Engine-portable
+    (md5 + substring only); up to 64 bits. -> (id, simhash: long).
+
+    Bit 63 is assembled via shiftleft(1L, 63) — the two's-complement sign
+    bit — because the 2^63 literal does not fit a signed long; XOR/popcount
+    hamming math downstream is bit-pattern arithmetic, so a negative
+    signature value is fine (and the DuckDB oracle mirrors it by adding
+    CAST(-9223372036854775808 AS BIGINT))."""
+    assert bits <= 64
     words = F.explode(
         F.split(F.expr(_NORM.format(col=text_col)), " ")
     ).alias("w")
-    # hoist md5(w) into one column instead of recomputing it inside each of
-    # the ``bits`` aggregate expressions (don't rely on codegen subexpression
-    # elimination across aggregates)
+    # hoist md5(w) (and the second digest for bits 32+) into columns instead
+    # of recomputing inside each of the ``bits`` aggregate expressions
+    # (don't rely on codegen subexpression elimination across aggregates)
     exploded = df.select(F.col(id_col).alias("id"), words).withColumn(
         "wh", F.md5(F.col("w"))
     )
+    if bits > 32:
+        exploded = exploded.withColumn("wh2", F.md5(F.concat(F.col("w"), F.lit("#"))))
     contribs = [
         F.sum(
             F.when(
-                F.expr(f"instr('89abcdef', substring(wh, {p + 1}, 1))") > 0, 1
+                F.expr(
+                    f"instr('89abcdef', substring("
+                    f"{'wh' if p < 32 else 'wh2'}, {p % 32 + 1}, 1))"
+                )
+                > 0,
+                1,
             ).otherwise(-1)
         ).alias(f"b{p}")
         for p in range(bits)
@@ -302,34 +316,29 @@ def simhash_signatures(
     agg = exploded.groupBy("id").agg(*contribs)
     sim = None
     for p in range(bits):
-        bit = F.when(F.col(f"b{p}") > 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(2**p)
+        on = F.when(F.col(f"b{p}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+        bit = on * F.shiftleft(F.lit(1).cast("long"), p)
         sim = bit if sim is None else (sim + bit)
     return agg.select("id", sim.cast("long").alias("simhash"))
 
 
-def simhash_near_pairs(
+def simhash_band_candidates(
     df: DataFrame,
     max_hamming: int = 3,
-    bits: int = 16,
+    bits: int = 64,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Near-dup pairs in HAMMING space over SimHash signatures, via the
-    pigeonhole band trick: split the ``bits``-bit signature into
-    ``max_hamming + 1`` bands — any pair within hamming distance
-    ``max_hamming`` MUST agree exactly on at least one band (it has at most
-    max_hamming differing bits to spread over max_hamming + 1 disjoint
-    bands), so candidate generation is a plain equi-join on (band,
-    band_key) and the exact popcount verify runs only on candidates.
-    GUARANTEED recall 1.0 within the radius (unlike probabilistic LSH).
-    -> (id_a, id_b, hamming).
-
-    100 TB shape: one shuffle on the band key; a band shared by many docs
-    is a wide-but-flat join key (one row per doc per band), and the verify
-    is candidate-scoped — no all-pairs anywhere. Uneven widths (bits not
-    divisible by the band count) widen the last band; the pigeonhole
-    guarantee only needs the bands disjoint and covering."""
+    """Pigeonhole candidate pairs for :func:`simhash_near_pairs` (factored
+    out so the candidate VOLUME — the thing that decides scalability — is
+    testable on its own). -> (id_a, id_b, sa, sb)."""
     n_bands = max_hamming + 1
+    if n_bands > bits:
+        raise ValueError(
+            f"max_hamming + 1 = {n_bands} bands need at least one signature"
+            f" bit each, got bits={bits} — a zero-width band would key every"
+            " doc to 0 and degrade the equi-join into all-pairs"
+        )
     base = bits // n_bands
     widths = [base] * (n_bands - 1) + [bits - base * (n_bands - 1)]
     offsets = [sum(widths[:i]) for i in range(n_bands)]
@@ -347,19 +356,52 @@ def simhash_near_pairs(
     )
     bands = sigs.select(
         "id", "simhash", F.explode(band_structs).alias("bk")
-    ).select("id", "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    ).select(
+        "id", "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
     a = bands.select(
         F.col("id").alias("id_a"), F.col("simhash").alias("sa"), "band", "key"
     )
     b = bands.select(
         F.col("id").alias("id_b"), F.col("simhash").alias("sb"), "band", "key"
     )
-    cand = (
+    return (
         a.join(b, ["band", "key"])
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", "sa", "sb")
         .distinct()
     )
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    bits: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup pairs in HAMMING space over SimHash signatures, via the
+    pigeonhole band trick: split the ``bits``-bit signature into
+    ``max_hamming + 1`` bands — any pair within hamming distance
+    ``max_hamming`` MUST agree exactly on at least one band (it has at most
+    max_hamming differing bits to spread over max_hamming + 1 disjoint
+    bands), so candidate generation is a plain equi-join on (band,
+    band_key) and the exact popcount verify runs only on candidates.
+    GUARANTEED recall 1.0 within the radius (unlike probabilistic LSH).
+    -> (id_a, id_b, hamming).
+
+    100 TB shape: one shuffle on the band key; a band shared by many docs
+    is a wide-but-flat join key (one row per doc per band), and the verify
+    is candidate-scoped — no all-pairs anywhere. Uneven widths (bits not
+    divisible by the band count) widen the last band; the pigeonhole
+    guarantee only needs the bands disjoint and covering.
+
+    Band-key WIDTH is the scale lever: candidate volume for random docs is
+    ~n_bands * C(n, 2) / 2^(bits / n_bands), so the default 64-bit
+    signature gives 16-bit keys at radius 3 — 256x fewer spurious
+    candidates than 32-bit/8-bit keys. Pick ``bits`` so that
+    2^(bits/(max_hamming+1)) comfortably exceeds the corpus size."""
+    cand = simhash_band_candidates(df, max_hamming, bits, text_col, id_col)
     return (
         cand.withColumn(
             "hamming",

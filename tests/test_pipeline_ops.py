@@ -310,20 +310,72 @@ def test_simhash_near_pairs_guaranteed_recall(spark):
     )
 
     docs = spark.read.parquet(f"{SF}/documents.parquet")
-    sigs = {r.id: r.simhash for r in simhash_signatures(docs, bits=32).collect()}
-    ids = sorted(sigs)
-    want = set()
-    for i, a in enumerate(ids):
-        for b in ids[i + 1 :]:
-            h = bin(sigs[a] ^ sigs[b]).count("1")
-            if h <= 3:
-                want.add((a, b, h))
-    got = {
-        (r.id_a, r.id_b, r.hamming)
-        for r in simhash_near_pairs(docs, max_hamming=3, bits=32).collect()
-    }
-    assert got == want
+    for bits in (32, 64):  # legacy narrow and default wide signatures
+        sigs = {
+            r.id: r.simhash for r in simhash_signatures(docs, bits=bits).collect()
+        }
+        ids = sorted(sigs)
+        want = set()
+        mask = (1 << 64) - 1  # two's-complement view for the sign-bit sig
+        for i, a in enumerate(ids):
+            for b in ids[i + 1 :]:
+                h = bin((sigs[a] ^ sigs[b]) & mask).count("1")
+                if h <= 3:
+                    want.add((a, b, h))
+        got = {
+            (r.id_a, r.id_b, r.hamming)
+            for r in simhash_near_pairs(docs, max_hamming=3, bits=bits).collect()
+        }
+        assert got == want
     assert want  # the fixture's near-dup docs produce real pairs
+
+
+def test_simhash_band_width_controls_candidate_volume(spark):
+    """The r4 perf-weak item made concrete: on a corpus of bounded near-dup
+    clusters plus random docs, widening 32-bit signatures (8-bit band keys)
+    to 64-bit (16-bit keys) collapses the spurious-candidate volume, and
+    64-bit candidate growth under a 10x corpus is far below quadratic
+    (quadratic = 100x)."""
+    import random
+
+    from openeo_geotrellis_extensions_spark.pipeline.dedup import (
+        simhash_band_candidates,
+    )
+
+    rng = random.Random(7)
+    vocab = [f"w{i:04d}" for i in range(4000)]
+
+    def corpus(n, tag):
+        rows = []
+        for c in range(n // 5):  # clusters of 5 mutated copies of a template
+            base = rng.sample(vocab, 30)
+            for j in range(5):
+                words = list(base)
+                words[rng.randrange(30)] = rng.choice(vocab)
+                rows.append((c * 5 + j, f"{tag} " + " ".join(words)))
+        return spark.createDataFrame(rows, ["doc_id", "text"])
+
+    small, big = corpus(200, "s"), corpus(2000, "b")
+    c64_small = simhash_band_candidates(small, 3, 64).count()
+    c64_big = simhash_band_candidates(big, 3, 64).count()
+    c32_big = simhash_band_candidates(big, 3, 32).count()
+    # 8-bit keys: ~4*C(2000,2)/256 ≈ 31k spurious candidates; 16-bit keys
+    # keep candidates near the true near-pair count
+    assert c32_big > 10 * c64_big
+    # sub-quadratic growth: 10x docs must cost far less than 100x candidates
+    assert c64_big < 25 * c64_small
+
+
+def test_simhash_near_pairs_rejects_zero_width_bands(spark):
+    import pytest as _pytest
+
+    from openeo_geotrellis_extensions_spark.pipeline.dedup import (
+        simhash_near_pairs,
+    )
+
+    docs = spark.createDataFrame([(1, "a b c"), (2, "a b d")], ["doc_id", "text"])
+    with _pytest.raises(ValueError, match="zero-width band"):
+        simhash_near_pairs(docs, max_hamming=16, bits=16).count()
 
 
 def test_ngram_contamination_planted(spark):
