@@ -1064,6 +1064,86 @@ def _oracle_resample_polar() -> str:
     """
 
 
+def _q_resample_lcc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """National-grid warp (EPSG:2154 RGF93 / Lambert-93, Lambert conformal
+    conic 2SP on GRS80) — the last broadly-used projection family the
+    registry lacked (VERDICT r4 ask #7; the reference reaches LCC through
+    geotrellis-proj4, reproject/TileRDDReproject.scala:40-419). Arithmetic
+    cube on DIGEST_LAYOUT (EPSG:4326) reprojected onto the snapped
+    EPSG:2154 layout; the oracle regenerates every target pixel through the
+    same closed-form inverse-LCC math (Snyder 15-8..15-11 + the GRS80
+    conformal->geodetic series) with identical literal coefficients."""
+    from openeo_geotrellis_extensions_spark.core.proj import utm_layout_for
+    from openeo_geotrellis_extensions_spark.operators.resample import (
+        resample_spatial,
+    )
+
+    cube = arithmetic_cube(spark, DIGEST_LAYOUT, n_bands=1, cell_type="float64")
+    target = utm_layout_for(DIGEST_LAYOUT, resolution=16000.0, dst_crs="EPSG:2154")
+    assert target.crs == "EPSG:2154" and target.layout_cols == 3
+    return cube_digest(resample_spatial(cube, target))
+
+
+def _oracle_resample_lcc() -> str:
+    """Inverse Lambert conformal conic 2SP in SQL: rho/theta from the grid
+    coords, t' = (rho/aF)^(1/n), chi -> the conformal-to-geodetic series.
+    Every constant is emitted as the repr() of the numpy double the engine
+    uses (CAST to DOUBLE keeps DuckDB out of DECIMAL arithmetic); the only
+    cross-engine drift is transcendental ulp noise against ~1e-3-deg
+    margins to the nearest source-pixel boundary."""
+    from openeo_geotrellis_extensions_spark.core import proj as P
+
+    target = P.utm_layout_for(DIGEST_LAYOUT, resolution=16000.0, dst_crs="EPSG:2154")
+    n, a_f, rho0, lon0, e0, n0, e2 = P._lcc_consts("EPSG:2154")
+    c1, c2, c3, c4 = P._chi_to_phi_coefs(e2)
+    inv_n = 1.0 / n
+    res = 16000.0
+    src = f"""
+        SELECT dd.date, t.c, t.r, 0 AS band,
+               CASE WHEN (gx % 8 + gy % 8 + gx // 8 + gy // 8 + dd.di) % 13 = 0
+                    THEN NULL
+                    ELSE CAST(((gx % 8) * 3 + (gy % 8) * 5 + (gx // 8) * 13
+                               + (gy // 8) * 7 + dd.di * 11) % 97 AS DOUBLE)
+               END AS v
+        FROM dates dd, utiles t, upx px, upy py,
+        LATERAL (SELECT CAST({n!r} AS DOUBLE) AS cn,
+                        CAST({inv_n!r} AS DOUBLE) AS invn,
+                        CAST({a_f!r} AS DOUBLE) AS af,
+                        CAST({rho0!r} AS DOUBLE) AS rho0) k,
+        LATERAL (SELECT
+            (CAST({target.extent.xmin!r} AS DOUBLE)
+               + (t.c * 8 + px.px + 0.5) * CAST({res!r} AS DOUBLE)) AS E,
+            (CAST({target.extent.ymax!r} AS DOUBLE)
+               - (t.r * 8 + py.py + 0.5) * CAST({res!r} AS DOUBLE)) AS N
+        ) en,
+        LATERAL (SELECT (en.E - CAST({e0!r} AS DOUBLE)) AS xp,
+                        k.rho0 - (en.N - CAST({n0!r} AS DOUBLE)) AS yp) s0,
+        LATERAL (SELECT sqrt(s0.xp * s0.xp + s0.yp * s0.yp) AS rho,
+                        atan2(s0.xp, s0.yp) AS theta) s1,
+        LATERAL (SELECT pow(s1.rho / k.af, k.invn) AS tt) s2,
+        LATERAL (SELECT pi() / 2.0 - 2.0 * atan(s2.tt) AS chi) s3,
+        LATERAL (SELECT CAST({lon0!r} AS DOUBLE)
+                          + degrees(s1.theta / k.cn) AS lon,
+                        degrees(s3.chi
+                                + CAST({c1!r} AS DOUBLE) * sin(2.0 * s3.chi)
+                                + CAST({c2!r} AS DOUBLE) * sin(4.0 * s3.chi)
+                                + CAST({c3!r} AS DOUBLE) * sin(6.0 * s3.chi)
+                                + CAST({c4!r} AS DOUBLE) * sin(8.0 * s3.chi)) AS lat) s4,
+        LATERAL (SELECT CAST(floor(s4.lon / 0.125) AS INT) AS gx,
+                        CAST(floor((2.0 - s4.lat) / 0.125) AS INT) AS gy) g
+        WHERE gx >= 0 AND gx < 16 AND gy >= 0 AND gy < 16
+    """
+    return f"""
+        WITH {_digest_base_cte()},
+        utiles AS (SELECT CAST(c AS INT) AS c, CAST(r AS INT) AS r
+                   FROM generate_series(0, {target.layout_cols - 1}) t1(c),
+                        generate_series(0, {target.layout_rows - 1}) t2(r)),
+        upx AS (SELECT CAST(px AS INT) AS px FROM generate_series(0, 7) t(px)),
+        upy AS (SELECT CAST(py AS INT) AS py FROM generate_series(0, 7) t(py))
+        {_digest_tail(src)}
+    """
+
+
 #: 4x-downscale target for the aggregate (area-average) method query
 _DOWN4_LAYOUT = LayoutDefinition(_Extent(0.0, 0.0, 2.0, 2.0), 1, 1, 4, 4)
 
@@ -3372,6 +3452,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ascending measured sf0.01 cost so a time-budget cut still gates as
     # many queries as possible.
     return {
+        "resample_lcc": _q_resample_lcc,
         "scl_dilation_mask": _q_scl_dilation,
         "chunk_polygon_udf": _q_chunk_polygon,
         "vectorize": _q_vectorize,
@@ -3477,6 +3558,7 @@ def oracle_sql() -> dict[str, str]:
         "resample_utm": _oracle_resample_utm(),
         "resample_laea": _oracle_resample_laea(),
         "resample_polar": _oracle_resample_polar(),
+        "resample_lcc": _oracle_resample_lcc(),
         "resample_average": _oracle_resample_average(),
         "load_netcdf": _oracle_load_netcdf(),
         "load_geotiff": _oracle_load_geotiff(),

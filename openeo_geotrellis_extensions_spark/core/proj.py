@@ -376,6 +376,109 @@ def laea_inverse(crs: str):
     return inv
 
 
+# ---------------------------------------------------------------------------
+# Lambert conformal conic, 2 standard parallels (ellipsoidal) — EPSG:2154
+# (RGF93 / Lambert-93, the French national grid) and EPSG:3978 (NAD83 /
+# Canada Atlas Lambert).  Snyder pp. 104-110 (eqs. 14-15, 15-1..15-11);
+# the reference reaches these through geotrellis-proj4
+# (reproject/TileRDDReproject.scala:40-419 accepts any proj4 CRS).  Both
+# registered CRSs sit on GRS80; datum-shift-bearing legacy grids (NTF /
+# NAD27 zones) are out of scope like everywhere else in this module.
+# ---------------------------------------------------------------------------
+
+#: crs -> (phi1, phi2, phi0, lon0, false easting, false northing, a, e2)
+_LCC_PARAMS: dict[str, tuple[float, float, float, float, float, float, float, float]] = {
+    "EPSG:2154": (44.0, 49.0, 46.5, 3.0, 700000.0, 6600000.0, _GRS80_A, _GRS80_E2),
+    "EPSG:3978": (49.0, 77.0, 49.0, -95.0, 0.0, 0.0, _GRS80_A, _GRS80_E2),
+}
+
+
+def _chi_to_phi_coefs(e2: float) -> tuple[float, float, float, float]:
+    """Conformal -> geodetic latitude series coefficients (Snyder eq. 3-5)
+    for an arbitrary ellipsoid — the generalization of the WGS84-fixed
+    ``_CHI_C`` tuple above."""
+    return (
+        e2 / 2.0 + 5.0 * e2**2 / 24.0 + e2**3 / 12.0 + 13.0 * e2**4 / 360.0,
+        7.0 * e2**2 / 48.0 + 29.0 * e2**3 / 240.0 + 811.0 * e2**4 / 11520.0,
+        7.0 * e2**3 / 120.0 + 81.0 * e2**4 / 1120.0,
+        4279.0 * e2**4 / 161280.0,
+    )
+
+
+def _lcc_t(phi: np.ndarray, e: float) -> np.ndarray:
+    """Snyder 15-9: t(phi) for the conic's isometric-latitude power law."""
+    s = np.sin(phi)
+    return np.tan(np.pi / 4.0 - phi / 2.0) * (
+        (1.0 + e * s) / (1.0 - e * s)
+    ) ** (e / 2.0)
+
+
+def _lcc_consts(crs: str) -> tuple[float, float, float, float, float, float, float]:
+    """(n, aF, rho0, lon0_deg, e0, n0, e2) for a registered LCC-2SP crs.
+
+    n = ln(m1/m2) / ln(t1/t2), F = m1 / (n t1^n), rho(phi) = a F t^n —
+    scale factor is exactly 1 on both standard parallels (the property the
+    unit-scale tests pin)."""
+    phi1d, phi2d, phi0d, lon0, e0, n0, a, e2 = _LCC_PARAMS[crs]
+    e = float(np.sqrt(e2))
+    phi1, phi2, phi0 = (np.radians(v) for v in (phi1d, phi2d, phi0d))
+
+    def m(phi):
+        return float(np.cos(phi) / np.sqrt(1.0 - e2 * np.sin(phi) ** 2))
+
+    t1 = float(_lcc_t(np.array(phi1), e))
+    t2 = float(_lcc_t(np.array(phi2), e))
+    t0 = float(_lcc_t(np.array(phi0), e))
+    n = float(np.log(m(phi1) / m(phi2)) / np.log(t1 / t2))
+    big_f = m(phi1) / (n * t1**n)
+    a_f = a * big_f
+    rho0 = a_f * t0**n
+    return n, a_f, rho0, lon0, e0, n0, e2
+
+
+def lcc_forward(crs: str):
+    """(lon_deg, lat_deg) arrays -> (easting, northing) for a registered
+    LCC-2SP CRS (Snyder eqs. 14-15, 15-1..15-7)."""
+    n, a_f, rho0, lon0, e0, n0, e2 = _lcc_consts(crs)
+    e = float(np.sqrt(e2))
+
+    def fwd(lon: np.ndarray, lat: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        lam = np.radians(np.asarray(lon, dtype=np.float64) - lon0)
+        phi = np.radians(np.asarray(lat, dtype=np.float64))
+        rho = a_f * _lcc_t(phi, e) ** n
+        theta = n * lam
+        return e0 + rho * np.sin(theta), n0 + rho0 - rho * np.cos(theta)
+
+    return fwd
+
+
+def lcc_inverse(crs: str):
+    """(easting, northing) arrays -> (lon_deg, lat_deg) for a registered
+    LCC-2SP CRS (Snyder eqs. 15-8..15-11 + conformal->geodetic series)."""
+    n, a_f, rho0, lon0, e0, n0, e2 = _lcc_consts(crs)
+    c1, c2, c3, c4 = _chi_to_phi_coefs(e2)
+    sgn = 1.0 if n >= 0 else -1.0
+
+    def inv(east: np.ndarray, north: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        xp = np.asarray(east, dtype=np.float64) - e0
+        yp = rho0 - (np.asarray(north, dtype=np.float64) - n0)
+        rho = sgn * np.hypot(xp, yp)
+        theta = np.arctan2(sgn * xp, sgn * yp)
+        with np.errstate(divide="ignore"):  # rho=0 only at the cone apex
+            tp = (rho / a_f) ** (1.0 / n)
+        chi = np.pi / 2.0 - 2.0 * np.arctan(tp)
+        phi = (
+            chi
+            + c1 * np.sin(2.0 * chi)
+            + c2 * np.sin(4.0 * chi)
+            + c3 * np.sin(6.0 * chi)
+            + c4 * np.sin(8.0 * chi)
+        )
+        return lon0 + np.degrees(theta / n), np.degrees(phi)
+
+    return inv
+
+
 PointFn = Callable[[np.ndarray, np.ndarray], tuple[np.ndarray, np.ndarray]]
 
 
@@ -418,6 +521,10 @@ def point_transform(src_crs: str, dst_crs: str) -> PointFn:
         return polar_stereo_inverse(src_crs)
     if src_crs == "EPSG:4326" and dst_crs in _POLAR_STEREO_PARAMS:
         return polar_stereo_forward(dst_crs)
+    if src_crs in _LCC_PARAMS and dst_crs == "EPSG:4326":
+        return lcc_inverse(src_crs)
+    if src_crs == "EPSG:4326" and dst_crs in _LCC_PARAMS:
+        return lcc_forward(dst_crs)
     # projected <-> projected (UTM/LAEA/polar-stereo/3857 in any
     # combination): hop through the 4326 geodetic hub — but only when BOTH
     # legs resolve, so unsupported codes still raise instead of recursing.
@@ -426,6 +533,7 @@ def point_transform(src_crs: str, dst_crs: str) -> PointFn:
             utm
             or crs in _LAEA_PARAMS
             or crs in _POLAR_STEREO_PARAMS
+            or crs in _LCC_PARAMS
             or crs == "EPSG:3857"
         )
 
