@@ -2640,13 +2640,17 @@ def _q_ivf_ann_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
     is probed, so the hierarchical candidate set provably equals the flat
     one (tested in test_pattern_ivf.py) while the query still executes the
     hierarchical code path end-to-end (driver-side Lloyd over centroids,
-    per-group member scoring, ragged candidate top-n_probe)."""
+    per-group member scoring, ragged candidate top-n_probe). ASSIGNMENT is
+    hierarchical too (two_level_assign: branch-and-bound over coarse groups
+    with the triangle-inequality radius band, provably identical to the
+    flat argmax — r4 ask #8), so the whole 10^7-list shape is what the
+    driver gate checks."""
     from openeo_geotrellis_extensions_spark.pipeline.similarity import ivf_topk_det
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return ivf_topk_det(
         emb, k=_IVF_K, n_lists=_IVF_LISTS, n_probe=_IVF_PROBE, iters=_IVF_ITERS,
-        two_level=True, n_coarse=3, coarse_probe=3,
+        two_level=True, n_coarse=3, coarse_probe=3, two_level_assign=True,
     ).select(
         F.col("query_id").cast("long").alias("query_id"),
         F.col("neighbor_id").cast("long").alias("neighbor_id"),

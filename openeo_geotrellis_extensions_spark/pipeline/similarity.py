@@ -250,6 +250,60 @@ def coarse_of_coarse(C: np.ndarray, n_coarse: int, iters: int = 3):
     return Cc, group_of
 
 
+def _assign_two_level_udf(C: np.ndarray, Cc: np.ndarray, group_of: np.ndarray):
+    """Arrow UDF: embedding -> nearest FINE centroid via the coarse
+    hierarchy, GUARANTEED identical to the flat argmax (_assign_udf).
+
+    Branch-and-bound with the triangle inequality: a group whose coarse
+    centroid is at distance d_g with member radius r_g cannot contain a fine
+    centroid closer than d_g - r_g, so its best possible score is
+    |q|^2 - max(0, d_g - r_g)^2. Groups are scanned in ascending coarse
+    distance; a group is skipped when that upper bound (plus a 1.0 slack —
+    scores are exact integers, sqrt rounding error is << 1) cannot reach the
+    best score found, and the scan stops when even the global max radius
+    cannot. Expected cost per vector: n_coarse coarse scores + the members
+    of the first one-to-three groups ~ O(sqrt(n_lists)), against the flat
+    path's O(n_lists) — with EXACTNESS kept by the fallback band (ties
+    resolve score desc, list asc, matching flat/oracle order)."""
+    n_coarse = Cc.shape[0]
+    members = [np.where(group_of == j)[0] for j in range(n_coarse)]
+    radii = np.zeros(n_coarse)
+    for j in range(n_coarse):
+        if members[j].size:
+            d = C[members[j]] - Cc[j]
+            radii[j] = float(np.sqrt((d * d).sum(axis=1).max()))
+    nonempty = np.array(
+        [j for j in range(n_coarse) if members[j].size], dtype=int
+    )
+    rmax = float(radii[nonempty].max()) if nonempty.size else 0.0
+
+    @pandas_udf("int")
+    def _assign(v: pd.Series) -> pd.Series:
+        Q = _quantize_rows(v)
+        qq = (Q * Q).sum(axis=1)
+        Sc = _list_score_matrix(Q, Cc)
+        out = np.empty(Q.shape[0], dtype=np.int32)
+        for i in range(Q.shape[0]):
+            dq = np.sqrt(np.maximum(qq[i] - Sc[i, nonempty], 0.0))
+            order = np.argsort(dq, kind="stable")
+            best_s, best_id = -np.inf, -1
+            for oi in order:
+                if qq[i] - max(0.0, dq[oi] - rmax) ** 2 + 1.0 < best_s:
+                    break  # every later group is even farther
+                g = int(nonempty[oi])
+                if qq[i] - max(0.0, dq[oi] - radii[g]) ** 2 + 1.0 < best_s:
+                    continue  # this group's band cannot reach the best
+                m = members[g]
+                s = _list_score_matrix(Q[i : i + 1], C[m])[0]
+                j = int(np.lexsort((m, -s))[0])  # score desc, list asc
+                if s[j] > best_s or (s[j] == best_s and int(m[j]) < best_id):
+                    best_s, best_id = float(s[j]), int(m[j])
+            out[i] = best_id
+        return pd.Series(out)
+
+    return _assign
+
+
 def _probe_two_level_udf(
     C: np.ndarray,
     Cc: np.ndarray,
@@ -293,6 +347,7 @@ def ivf_topk_det(
     two_level: bool = False,
     n_coarse: int | None = None,
     coarse_probe: int = 2,
+    two_level_assign: bool = False,
 ) -> DataFrame:
     """IVF ANN with the deterministic coarse quantizer (ivf_centroids_det):
     every vector is assigned to its nearest final centroid; every query
@@ -309,16 +364,20 @@ def ivf_topk_det(
     (coarse_of_coarse): a probe scores n_coarse coarse centroids, then only
     the fine centroids inside its ``coarse_probe`` best groups — the IMI /
     IVF-of-IVF pattern that keeps 10^7-list probes O(sqrt(n_lists)) per
-    vector. Assignment stays exact (flat argmax over C: one matmul, cheap
-    relative to the probe fan-out) so two_level with coarse_probe >= n_coarse
-    is IDENTICAL to the flat path; both levels ship to executors as the same
-    broadcast closure, and the candidate join is still the one equi-join on
-    list_id."""
+    vector. ``two_level_assign=True`` additionally routes ASSIGNMENT through
+    the hierarchy (_assign_two_level_udf) — branch-and-bound with a
+    triangle-inequality radius band, so the assignment is provably
+    IDENTICAL to the flat argmax while scoring ~O(sqrt(n_lists)) centroids
+    per vector (at 10^7 lists flat assignment is otherwise the bottleneck).
+    Both levels ship to executors as the same broadcast closure, and the
+    candidate join is still the one equi-join on list_id."""
     C = ivf_centroids_det(emb, n_lists, iters, id_col, vec_col)
 
-    if two_level:
+    Cc = group_of = None
+    if two_level or two_level_assign:
         nc = n_coarse or max(1, int(np.ceil(np.sqrt(n_lists))))
         Cc, group_of = coarse_of_coarse(C, nc)
+    if two_level:
         _probe = _probe_two_level_udf(C, Cc, group_of, n_probe, coarse_probe)
     else:
 
@@ -332,10 +391,15 @@ def ivf_topk_det(
             )
             return pd.Series(list(order))
 
+    assign = (
+        _assign_two_level_udf(C, Cc, group_of)
+        if two_level_assign
+        else _assign_udf(C)
+    )
     assigned = emb.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("vb"),
-        _assign_udf(C)(F.col(vec_col)).alias("list_id"),
+        assign(F.col(vec_col)).alias("list_id"),
     )
     probed = emb.select(
         F.col(id_col).alias("query_id"),
@@ -361,8 +425,19 @@ def ivf_params_for(n_rows: int, target_list_rows: int = 100_000) -> dict:
     candidate volume. At 10^12 rows / 100k-target that is 10^7 lists —
     flat probing would score 10^7 centroids per vector, so above
     ``two_level_above`` lists the returned params switch on the hierarchical
-    probe (ivf_topk_det(two_level=True), n_coarse ~ sqrt(n_lists)): a probe
-    then scores ~2*sqrt(n_lists) centroids per vector."""
+    probe (ivf_topk_det(two_level=True), n_coarse ~ sqrt(n_lists)) AND the
+    hierarchical exact assignment (two_level_assign=True).
+
+    Per-vector cost model (centroid scores, dim-length dots each):
+      flat:      probe n_lists,              assign n_lists
+      two-level: probe n_coarse + coarse_probe * n_lists/n_coarse,
+                 assign n_coarse + (scanned groups) * n_lists/n_coarse
+    with n_coarse = sqrt(n_lists) both probe and assign are
+    O(sqrt(n_lists)); assignment stays EXACT (triangle-inequality band, see
+    _assign_two_level_udf) so recall semantics never change. The remaining
+    10^7-list cost is the ~GB centroid broadcast itself — at that scale C
+    should move to a shared-storage side input; the closure keeps the same
+    shape."""
     import math
 
     by_list_size = math.ceil(n_rows / max(1, target_list_rows))
@@ -372,6 +447,7 @@ def ivf_params_for(n_rows: int, target_list_rows: int = 100_000) -> dict:
     p = {"n_lists": n_lists, "n_probe": max(2, n_lists // 8)}
     if n_lists > two_level_above:
         p["two_level"] = True
+        p["two_level_assign"] = True
         p["n_coarse"] = max(2, int(math.isqrt(n_lists)))
         p["coarse_probe"] = 2
     return p

@@ -2,6 +2,7 @@
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from openeo_geotrellis_extensions_spark.core.grid import Extent, LayoutDefinition
 from openeo_geotrellis_extensions_spark.core.tiles import decode_tile_float
@@ -146,7 +147,69 @@ def test_ivf_params_switch_to_two_level():
     """Web-scale corpora get hierarchical-probe params; small ones stay flat."""
     big = ivf_params_for(10**12)
     assert big["two_level"] and big["n_coarse"] >= 1000
+    assert big["two_level_assign"]  # assignment is hierarchical too (r4 ask)
     assert "two_level" not in ivf_params_for(500)
+
+
+def test_two_level_assignment_equals_flat(spark):
+    """Hierarchical ASSIGNMENT (branch-and-bound over coarse groups with the
+    triangle-inequality radius band) must agree with the flat argmax on
+    every vector — on the driver fixture AND on an adversarial clustered set
+    whose groups overlap (where a bound bug would misassign)."""
+    import numpy as np
+    import pandas as pd
+
+    from openeo_geotrellis_extensions_spark.pipeline.similarity import (
+        _assign_two_level_udf,
+        _assign_udf,
+        _list_score_matrix,
+        _quantize_rows,
+        coarse_of_coarse,
+        ivf_centroids_det,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").cache()
+    C = ivf_centroids_det(emb, n_lists=9, iters=2)
+    Cc, group_of = coarse_of_coarse(C, 3)
+    got = emb.select(
+        "vec_id",
+        _assign_udf(C)(F.col("embedding")).alias("flat"),
+        _assign_two_level_udf(C, Cc, group_of)(F.col("embedding")).alias("two"),
+    ).collect()
+    assert got and all(r.flat == r.two for r in got)
+
+    # adversarial: overlapping clusters + near-tie vectors, checked against
+    # a direct numpy argmax (no Spark, exercises the pruning band hard)
+    rng = np.random.RandomState(11)
+    C2 = np.floor(rng.uniform(-3, 3, (24, 6)) * 1e6)
+    C2[7] = C2[19] + 1.0  # nearly coincident fine centroids across groups
+    Cc2, g2 = coarse_of_coarse(C2, 5)
+    V = rng.uniform(-3, 3, (500, 6)).astype(np.float64)
+    series = pd.Series(list(V))
+    # .func = the raw python function behind the pandas_udf wrapper
+    two = _assign_two_level_udf(C2, Cc2, g2).func(series).to_numpy()
+    S = _list_score_matrix(_quantize_rows(series), C2)
+    flat = np.argmax(S, axis=1)
+    assert (two == flat).all()
+
+
+def test_ivf_hier_assign_end_to_end_matches_flat(spark):
+    """two_level_assign=True changes only WHERE assignment cost is spent —
+    results are identical to the flat path (the registered ivf_ann_hier
+    query rides this equality through its flat-SQL oracle)."""
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").cache()
+    flat = {
+        tuple(r)
+        for r in ivf_topk_det(emb, k=3, n_lists=9, n_probe=2, iters=2).collect()
+    }
+    hier = {
+        tuple(r)
+        for r in ivf_topk_det(
+            emb, k=3, n_lists=9, n_probe=2, iters=2,
+            two_level_assign=True,
+        ).collect()
+    }
+    assert flat == hier
 
 
 def test_bruteforce_query_guard(spark):
