@@ -2009,6 +2009,12 @@ _ORACLE_DECONTAMINATE = r"""
 
 
 def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNCAPPED pairwise n-gram Jaccard — the exact small-corpus primitive.
+    Per-query contract: the default max_docs=10_000 guard is live here, so
+    this query raises (by design) above 10k docs (~sf1 for the documents
+    fixture); the eager size probe it costs is one limit(10001).count().
+    The scale path is `ngram_jaccard_capped` (max_df-capped hot buckets),
+    which runs at any corpus size."""
     docs = spark.read.parquet(_DOCS.format(sf=sf_dir))
     return ngram_jaccard_pairs(docs, threshold=0.05).select(
         F.col("id_a").cast("long").alias("id_a"),

@@ -42,7 +42,9 @@ def build_spark(cpus: int) -> SparkSession:
     )
 
 
-def run_pipelines(spark: SparkSession, n_docs: int) -> dict[str, float]:
+def run_pipelines(
+    spark: SparkSession, n_docs: int, include_dedup: bool = True
+) -> dict[str, float]:
     """The two headline pipelines; returns per-stage wall seconds."""
     import __spark_entry__ as m
     from openeo_geotrellis_extensions_spark.operators.spatial_join import (
@@ -84,6 +86,25 @@ def run_pipelines(spark: SparkSession, n_docs: int) -> dict[str, float]:
     timings["zonal_stats"] = time.time() - t0
     timings["_stat_rows"] = float(n_stats)
 
+    # -- LLM-pipeline path: MinHash-LSH near-dups -> duplicate groups ------
+    # (VERDICT r4 ask #5: the geo headline was blind to dedup/similarity
+    # perf; this composite tracks the registered minhash_lsh+dedup_groups
+    # path at the REAL documents table of SF_DIR, fixed size per sf)
+    from openeo_geotrellis_extensions_spark.pipeline.dedup import (
+        connected_components,
+        minhash_lsh_pairs,
+    )
+
+    if include_dedup:
+        t0 = time.time()
+        docs_tbl = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        pairs = minhash_lsh_pairs(
+            docs_tbl, num_hashes=16, bands=4, verify_threshold=0.5
+        )
+        n_grouped = connected_components(pairs).count()
+        timings["dedup_wall"] = time.time() - t0
+        timings["_dedup_grouped_ids"] = float(n_grouped)
+
     # -- salted checkpoint-resumable cell write (north_rule features) ------
     import shutil
     import tempfile
@@ -115,7 +136,11 @@ def run_pipelines(spark: SparkSession, n_docs: int) -> dict[str, float]:
 
 
 def bench_once(
-    cpus: int, n_docs: int, warmup: bool = True, repeats: int = 5
+    cpus: int,
+    n_docs: int,
+    warmup: bool = True,
+    repeats: int = 5,
+    include_dedup: bool = True,
 ) -> dict[str, float]:
     """Warmup pass (spawns/reuses Python UDF workers) then ``repeats`` timed
     runs, reporting the per-stage minimum — this host shows heavy
@@ -123,8 +148,11 @@ def bench_once(
     spark = build_spark(cpus)
     try:
         if warmup:
-            run_pipelines(spark, max(2000, n_docs // 100))
-        runs = [run_pipelines(spark, n_docs) for _ in range(repeats)]
+            run_pipelines(spark, max(2000, n_docs // 100), include_dedup=False)
+        runs = [
+            run_pipelines(spark, n_docs, include_dedup=include_dedup)
+            for _ in range(repeats)
+        ]
         return {k: min(r[k] for r in runs) for k in runs[0]}
     finally:
         spark.stop()
@@ -139,7 +167,8 @@ def _bench_subprocess(cpus: int, n_docs: int) -> dict[str, float]:
     code = (
         "import json, sys; sys.path.insert(0, '/root/repo');\n"
         "import bench\n"
-        f"print('BENCHJSON ' + json.dumps(bench.bench_once({cpus}, {n_docs})))\n"
+        "print('BENCHJSON ' + json.dumps("
+        f"bench.bench_once({cpus}, {n_docs}, include_dedup=False)))\n"
     )
     out = subprocess.run(
         [_sys.executable, "-c", code],

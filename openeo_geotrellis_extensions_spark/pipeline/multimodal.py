@@ -66,16 +66,32 @@ def _resolve_media_ref(ref: str, tile_size: int):
         fmt = head[len("data:image/"):].split(";", 1)[0]
         if not head.endswith(";base64") or not payload:
             raise ValueError(f"unsupported data URI shape: {head!r}")
-        return decode_image(base64.b64decode(payload), fmt)
+        return _luma(decode_image(base64.b64decode(payload), fmt))
     if ref.startswith("file://"):
         path = ref[len("file://"):]
         ext = path.rsplit(".", 1)[-1].lower()
         with open(path, "rb") as f:
-            return decode_image(f.read(), ext)
+            return _luma(decode_image(f.read(), ext))
     raise NotImplementedError(
         f"no codec/fetcher for {ref!r} (tile://, data:image/png;base64, "
         "data:image/jpeg;base64 and file:// resolve here)"
     )
+
+
+def _luma(arr: np.ndarray) -> np.ndarray:
+    """Normalize a decoded image to the single-channel (h, w) uint8 layout
+    every media consumer assumes (content reshapes as (height, width)). An
+    RGB(A) decode reduces deterministically via integer BT.601 luma
+    ((299R + 587G + 114B + 500) // 1000); gray+alpha drops alpha. Without
+    this, a color data:/file: ref would record width/height of a (h, w, 3)
+    buffer and crash downstream reshapes."""
+    if arr.ndim == 2:
+        return arr
+    if arr.shape[2] <= 2:  # gray or gray+alpha
+        return np.ascontiguousarray(arr[..., 0])
+    rgb = arr[..., :3].astype(np.int64)  # RGBA: alpha ignored
+    y = (299 * rgb[..., 0] + 587 * rgb[..., 1] + 114 * rgb[..., 2] + 500) // 1000
+    return y.astype(np.uint8)
 
 
 def fetch_media(docs: DataFrame, tile_size: int = 16) -> DataFrame:

@@ -167,6 +167,16 @@ def test_media_refs_data_uri_and_file(spark, tmp_path):
     assert jarr.shape == img.shape
     assert float(np.abs(jarr.astype(float) - img).mean()) < 12.0
 
+    # an RGB ref must resolve to the single-channel (h, w) layout every
+    # consumer assumes — deterministic integer BT.601 luma, not a crash
+    rgb = np.stack([img, (img * 2) % 251, (img * 3) % 251], axis=-1)
+    rgb_b64 = base64.b64encode(encode_png_bytes(rgb)).decode()
+    got = _resolve_media_ref(f"data:image/png;base64,{rgb_b64}", 16)
+    r3 = rgb.astype(np.int64)
+    want = (299 * r3[..., 0] + 587 * r3[..., 1] + 114 * r3[..., 2] + 500) // 1000
+    np.testing.assert_array_equal(got, want.astype(np.uint8))
+    assert got.shape == img.shape and got.dtype == np.uint8
+
     # through the Spark pipeline: spans with mixed schemes
     docs = spark.createDataFrame(
         [
