@@ -188,10 +188,11 @@ def test_reproject_3857_to_4326_roundtrip_keys(spark):
 
 
 def test_reproject_unsupported_pair_raises(spark):
-    # UTM became a supported target (core/proj.py Krueger series); a conic
-    # CRS the engine has no math for must still fail fast, driver-side
+    # UTM/LAEA/polar-stereo/LCC are supported families now; a CRS the
+    # engine has no math for (EPSG:2056 Swiss oblique Mercator — datum
+    # CH1903+ besides) must still fail fast, driver-side
     cube = constant_cube(spark, LAYOUT)
-    bad = LayoutDefinition(Extent(0.0, 0.0, 2.0, 2.0), 2, 2, 8, 8, "EPSG:2154")
+    bad = LayoutDefinition(Extent(0.0, 0.0, 2.0, 2.0), 2, 2, 8, 8, "EPSG:2056")
     with pytest.raises(NotImplementedError):
         resample_spatial(cube, bad)
 
