@@ -429,7 +429,10 @@ def _lcc_consts(crs: str) -> tuple[float, float, float, float, float, float, flo
     t1 = float(_lcc_t(np.array(phi1), e))
     t2 = float(_lcc_t(np.array(phi2), e))
     t0 = float(_lcc_t(np.array(phi0), e))
-    n = float(np.log(m(phi1) / m(phi2)) / np.log(t1 / t2))
+    if abs(phi1 - phi2) < 1e-12:  # 1SP: the analytic limit of the log ratio
+        n = float(np.sin(phi1))
+    else:
+        n = float(np.log(m(phi1) / m(phi2)) / np.log(t1 / t2))
     big_f = m(phi1) / (n * t1**n)
     a_f = a * big_f
     rho0 = a_f * t0**n
@@ -479,6 +482,355 @@ def lcc_inverse(crs: str):
     return inv
 
 
+# ---------------------------------------------------------------------------
+# proj4-string CRS support — the reference accepts ANY proj4 CRS through
+# geotrellis-proj4 (reproject/TileRDDReproject.scala:40-419).  This engine
+# accepts "+proj=..." strings for every implemented family (longlat, merc,
+# tmerc/utm, lcc, laea, stere polar aspect) on an ARBITRARY ellipsoid —
+# the series coefficients above are WGS84/GRS80-fixed fast paths; the
+# functions below recompute them from (a, f).  Datum SHIFTS are out of
+# scope throughout this module, so a nonzero +towgs84 raises.
+# ---------------------------------------------------------------------------
+
+#: proj4 +ellps= registry entries the engine knows: name -> (a, 1/f)
+_ELLPS = {
+    "WGS84": (6378137.0, 298.257223563),
+    "GRS80": (6378137.0, 298.257222101),
+    "clrk66": (6378206.4, 294.978698214),
+    "intl": (6378388.0, 297.0),
+    "krass": (6378245.0, 298.3),
+    "bessel": (6377397.155, 299.1528128),
+    "airy": (6377563.396, 299.3249646),
+    "sphere": (6370997.0, 0.0),
+}
+
+
+def parse_proj4(s: str) -> dict:
+    """'+k=v +flag ...' -> dict (numbers parsed, flags True). Raises on a
+    nonzero +towgs84 (datum shifts are out of scope engine-wide)."""
+    out: dict = {}
+    for tok in s.split():
+        if not tok.startswith("+"):
+            raise ValueError(f"malformed proj4 token {tok!r} in {s!r}")
+        body = tok[1:]
+        if "=" in body:
+            k, v = body.split("=", 1)
+            try:
+                out[k] = float(v) if k not in ("proj", "ellps", "datum", "units", "towgs84", "zone") else v
+            except ValueError:
+                out[k] = v
+        else:
+            out[body] = True
+    tw = out.get("towgs84")
+    if tw is not None and any(float(x) != 0.0 for x in str(tw).split(",")):
+        raise NotImplementedError(
+            f"+towgs84 datum shift in {s!r} — datum transformations are out"
+            " of scope (every registered CRS family here is shift-free)"
+        )
+    if "zone" in out:
+        out["zone"] = int(float(out["zone"]))
+    return out
+
+
+def _proj4_ellipsoid(p: dict) -> tuple[float, float]:
+    """(a, e2) from proj4 params: +a/+b, +a/+rf, +R, +ellps, or +datum."""
+    if "R" in p:
+        return float(p["R"]), 0.0
+    if "a" in p:
+        a = float(p["a"])
+        if "b" in p:
+            b = float(p["b"])
+            f = (a - b) / a
+        elif "rf" in p:
+            f = 1.0 / float(p["rf"]) if float(p["rf"]) else 0.0
+        else:
+            f = 0.0
+        return a, f * (2.0 - f)
+    name = p.get("ellps") or {"WGS84": "WGS84", "NAD83": "GRS80"}.get(
+        str(p.get("datum"))
+    )
+    if name not in _ELLPS:
+        raise NotImplementedError(
+            f"unknown ellipsoid for proj4 params {p!r} — pass +a/+b, +a/+rf,"
+            f" +R, or +ellps in {sorted(_ELLPS)}"
+        )
+    a, rf = _ELLPS[name]
+    f = 1.0 / rf if rf else 0.0
+    return a, f * (2.0 - f)
+
+
+def _tm_series(n: float) -> tuple[float, tuple, tuple]:
+    """Krueger rectifying radius factor + alpha/beta series (order n^4) for
+    an arbitrary third flattening ``n`` — the generalization of the
+    WGS84-fixed _TM_A/_ALPHA/_BETA constants above (same polynomials)."""
+    rect = 1.0 / (1.0 + n) * (1.0 + n**2 / 4.0 + n**4 / 64.0)
+    alpha = (
+        n / 2.0 - 2.0 * n**2 / 3.0 + 5.0 * n**3 / 16.0 + 41.0 * n**4 / 180.0,
+        13.0 * n**2 / 48.0 - 3.0 * n**3 / 5.0 + 557.0 * n**4 / 1440.0,
+        61.0 * n**3 / 240.0 - 103.0 * n**4 / 140.0,
+        49561.0 * n**4 / 161280.0,
+    )
+    beta = (
+        n / 2.0 - 2.0 * n**2 / 3.0 + 37.0 * n**3 / 96.0 - n**4 / 360.0,
+        n**2 / 48.0 + n**3 / 15.0 - 437.0 * n**4 / 1440.0,
+        17.0 * n**3 / 480.0 - 37.0 * n**4 / 840.0,
+        4397.0 * n**4 / 161280.0,
+    )
+    return rect, alpha, beta
+
+
+def _tmerc_fns(a: float, e2: float, lat0: float, lon0: float, k0: float,
+               x0: float, y0: float) -> tuple[PointFn, PointFn]:
+    """General transverse Mercator (Krueger, order n^4) on an arbitrary
+    ellipsoid with arbitrary natural origin — the generalization of the
+    UTM fast path. A nonzero lat_0 subtracts the meridian-arc northing of
+    the origin (computed through the same forward, so it cancels exactly)."""
+    e1 = float(np.sqrt(e2))
+    f = 1.0 - float(np.sqrt(1.0 - e2))  # f from e2
+    n = f / (2.0 - f)
+    rect, alpha, beta = _tm_series(n)
+    big_a = a * rect
+    c1, c2, c3, c4 = _chi_to_phi_coefs(e2)
+
+    def raw_fwd(lon, lat):
+        lam = np.radians(np.asarray(lon, dtype=np.float64) - lon0)
+        phi = np.radians(np.asarray(lat, dtype=np.float64))
+        s = np.sin(phi)
+        with np.errstate(divide="ignore"):
+            t = (
+                np.sinh(np.arctanh(s) - e1 * np.arctanh(e1 * s))
+                if e1 > 0.0
+                else np.tan(phi)
+            )
+        xi = np.arctan2(t, np.cos(lam))
+        eta = np.arcsinh(np.sin(lam) / np.sqrt(t * t + np.cos(lam) ** 2))
+        X, Y = xi.copy(), eta.copy()
+        for j, aj in enumerate(alpha, start=1):
+            X += aj * np.sin(2 * j * xi) * np.cosh(2 * j * eta)
+            Y += aj * np.cos(2 * j * xi) * np.sinh(2 * j * eta)
+        return k0 * big_a * Y, k0 * big_a * X
+
+    m0 = 0.0
+    if lat0 != 0.0:
+        m0 = float(raw_fwd(np.array([lon0]), np.array([lat0]))[1][0])
+
+    def fwd(lon, lat):
+        x, y = raw_fwd(lon, lat)
+        return x0 + x, y0 + y - m0
+
+    def inv(e, nn):
+        xi = (np.asarray(nn, dtype=np.float64) - y0 + m0) / (k0 * big_a)
+        eta = (np.asarray(e, dtype=np.float64) - x0) / (k0 * big_a)
+        X, Y = xi.copy(), eta.copy()
+        for j, bj in enumerate(beta, start=1):
+            X -= bj * np.sin(2 * j * xi) * np.cosh(2 * j * eta)
+            Y -= bj * np.cos(2 * j * xi) * np.sinh(2 * j * eta)
+        sh, cx = np.sinh(Y), np.cos(X)
+        lam = np.arctan2(sh, cx)
+        chi = np.arcsin(np.sin(X) / np.cosh(Y))
+        phi = chi.copy()
+        for j, cj in enumerate((c1, c2, c3, c4), start=1):
+            phi += cj * np.sin(2 * j * chi)
+        return lon0 + np.degrees(lam), np.degrees(phi)
+
+    return fwd, inv
+
+
+def _merc_fns(a: float, e2: float, lon0: float, k0: float,
+              x0: float, y0: float) -> tuple[PointFn, PointFn]:
+    """Ellipsoidal Mercator (Snyder 7-7/7-8); e=0 reduces exactly to the
+    spherical web-Mercator formulas (the EPSG:3857 fast path above)."""
+    e1 = float(np.sqrt(e2))
+    c1, c2, c3, c4 = _chi_to_phi_coefs(e2)
+
+    def fwd(lon, lat):
+        lam = np.radians(np.asarray(lon, dtype=np.float64) - lon0)
+        phi = np.radians(
+            np.clip(np.asarray(lat, dtype=np.float64), -89.9999, 89.9999)
+        )
+        t = _lcc_t(phi, e1)
+        return x0 + a * k0 * lam, y0 - a * k0 * np.log(t)
+
+    def inv(e, nn):
+        lam = (np.asarray(e, dtype=np.float64) - x0) / (a * k0)
+        t = np.exp(-(np.asarray(nn, dtype=np.float64) - y0) / (a * k0))
+        chi = np.pi / 2.0 - 2.0 * np.arctan(t)
+        phi = chi.copy()
+        for j, cj in enumerate((c1, c2, c3, c4), start=1):
+            phi += cj * np.sin(2 * j * chi)
+        return lon0 + np.degrees(lam), np.degrees(phi)
+
+    return fwd, inv
+
+
+def _lcc_fns_from(a: float, e2: float, lat1: float, lat2: float, lat0: float,
+                  lon0: float, x0: float, y0: float) -> tuple[PointFn, PointFn]:
+    """LCC on arbitrary params via the registered-CRS machinery: 1SP
+    (lat_1 == lat_2) degenerates to n = sin(lat_1), the analytic limit of
+    the 2SP log ratio."""
+    key = f"PROJ4:lcc:{a}:{e2}:{lat1}:{lat2}:{lat0}:{lon0}:{x0}:{y0}"
+    _LCC_PARAMS[key] = (lat1, lat2, lat0, lon0, x0, y0, a, e2)
+    return lcc_forward(key), lcc_inverse(key)
+
+
+def _polar_stere_fns(a: float, e2: float, lat0: float, lat_ts: float,
+                     lon0: float, k0: float, x0: float, y0: float
+                     ) -> tuple[PointFn, PointFn]:
+    """Polar stereographic, either variant (A: +k_0, B: +lat_ts) on an
+    arbitrary ellipsoid — the generalization of the EPSG-registered
+    variant-B fast path above (same Snyder equations)."""
+    if abs(lat0) != 90.0:
+        raise NotImplementedError(
+            "+proj=stere is implemented for the polar aspect only"
+            " (+lat_0=90 or +lat_0=-90)"
+        )
+    south = lat0 < 0
+    e1 = float(np.sqrt(e2))
+    c1, c2, c3, c4 = _chi_to_phi_coefs(e2)
+    if lat_ts is not None and abs(lat_ts) != 90.0:
+        phi_f = np.radians(abs(lat_ts))
+        m_f = float(np.cos(phi_f) / np.sqrt(1.0 - e2 * np.sin(phi_f) ** 2))
+        rf = a * m_f / float(_lcc_t(np.array(phi_f), e1))
+    else:
+        # variant A (scale k0 at the pole): rho = 2 a k0 t / sqrt((1+e)^(1+e)(1-e)^(1-e))
+        rf = 2.0 * a * k0 / float(
+            np.sqrt((1.0 + e1) ** (1.0 + e1) * (1.0 - e1) ** (1.0 - e1))
+        )
+
+    def fwd(lon, lat):
+        lam = np.radians(np.asarray(lon, dtype=np.float64) - lon0)
+        phi = np.radians(np.asarray(lat, dtype=np.float64))
+        rho = rf * _lcc_t(-phi if south else phi, e1)
+        x = x0 + rho * np.sin(lam)
+        y = y0 + (rho * np.cos(lam) if south else -rho * np.cos(lam))
+        return x, y
+
+    def inv(e, nn):
+        xp = np.asarray(e, dtype=np.float64) - x0
+        yp = np.asarray(nn, dtype=np.float64) - y0
+        rho = np.hypot(xp, yp)
+        t = rho / rf
+        chi = np.pi / 2.0 - 2.0 * np.arctan(t)
+        phi = chi.copy()
+        for j, cj in enumerate((c1, c2, c3, c4), start=1):
+            phi += cj * np.sin(2 * j * chi)
+        lam = np.arctan2(xp, yp) if south else np.arctan2(xp, -yp)
+        if south:
+            phi = -phi
+        return lon0 + np.degrees(lam), np.degrees(phi)
+
+    return fwd, inv
+
+
+def _laea_fns_from(a: float, e2: float, lat0: float, lon0: float,
+                   x0: float, y0: float) -> tuple[PointFn, PointFn]:
+    """Ellipsoidal oblique LAEA on arbitrary params (Snyder 24-26..24-34 +
+    3-18) — the generalization of the GRS80-fixed EPSG:3035 fast path
+    (identical equations, coefficients recomputed from e2)."""
+    e1 = float(np.sqrt(e2))
+
+    def q_of(sin_phi):
+        if e1 == 0.0:
+            return 2.0 * np.asarray(sin_phi, dtype=np.float64)
+        es = e1 * sin_phi
+        return (1.0 - e2) * (
+            sin_phi / (1.0 - e2 * sin_phi * sin_phi)
+            - np.log((1.0 - es) / (1.0 + es)) / (2.0 * e1)
+        )
+
+    qp = float(q_of(np.array(1.0)))
+    rq = a * float(np.sqrt(qp / 2.0))
+    phi1 = np.radians(lat0)
+    beta1 = float(np.arcsin(q_of(np.sin(phi1)) / qp))
+    m1 = float(np.cos(phi1) / np.sqrt(1.0 - e2 * np.sin(phi1) ** 2))
+    d = a * m1 / (rq * float(np.cos(beta1))) if abs(np.cos(beta1)) > 1e-12 else 1.0
+    sb1, cb1 = float(np.sin(beta1)), float(np.cos(beta1))
+    # authalic beta -> phi series (Snyder 3-18) for this e2
+    p1 = e2 / 3.0 + 31.0 * e2**2 / 180.0 + 517.0 * e2**3 / 5040.0
+    p2 = 23.0 * e2**2 / 360.0 + 251.0 * e2**3 / 3780.0
+    p3 = 761.0 * e2**3 / 45360.0
+
+    def fwd(lon, lat):
+        lam = np.radians(np.asarray(lon, dtype=np.float64) - lon0)
+        phi = np.radians(np.asarray(lat, dtype=np.float64))
+        beta = np.arcsin(np.clip(q_of(np.sin(phi)) / qp, -1.0, 1.0))
+        sb, cb = np.sin(beta), np.cos(beta)
+        b = rq * np.sqrt(2.0 / (1.0 + sb1 * sb + cb1 * cb * np.cos(lam)))
+        return (
+            x0 + b * d * cb * np.sin(lam),
+            y0 + (b / d) * (cb1 * sb - sb1 * cb * np.cos(lam)),
+        )
+
+    def inv(e, nn):
+        xp = np.asarray(e, dtype=np.float64) - x0
+        yp = np.asarray(nn, dtype=np.float64) - y0
+        rho = np.sqrt((xp / d) ** 2 + (d * yp) ** 2)
+        ce = 2.0 * np.arcsin(np.clip(rho / (2.0 * rq), -1.0, 1.0))
+        sce, cce = np.sin(ce), np.cos(ce)
+        with np.errstate(invalid="ignore"):
+            q = qp * (cce * sb1 + d * yp * sce * cb1 / rho)
+        q = np.where(rho == 0.0, qp * sb1, q)
+        lam = np.arctan2(xp * sce, d * rho * cb1 * cce - d * d * yp * sb1 * sce)
+        beta = np.arcsin(np.clip(q / qp, -1.0, 1.0))
+        phi = (
+            beta
+            + p1 * np.sin(2.0 * beta)
+            + p2 * np.sin(4.0 * beta)
+            + p3 * np.sin(6.0 * beta)
+        )
+        return lon0 + np.degrees(lam), np.degrees(phi)
+
+    return fwd, inv
+
+
+def proj4_fns(s: str) -> tuple[PointFn, PointFn]:
+    """'+proj=...' -> (forward from EPSG:4326 lon/lat degrees, inverse back).
+    Families: longlat, merc, tmerc, utm, lcc (1SP/2SP), laea, stere (polar
+    aspect) — on any ellipsoid expressible as +a/+b, +a/+rf, +R, +ellps or
+    +datum {WGS84, NAD83}. Anything else raises NotImplementedError."""
+    p = parse_proj4(s)
+    fam = p.get("proj")
+    a, e2 = _proj4_ellipsoid(p)
+    lat0 = float(p.get("lat_0", 0.0))
+    lon0 = float(p.get("lon_0", 0.0))
+    x0 = float(p.get("x_0", 0.0))
+    y0 = float(p.get("y_0", 0.0))
+    k0 = float(p.get("k", p.get("k_0", 1.0)))
+    if fam == "longlat":
+        return _point_from_axes(_identity, _identity)
+    if fam == "merc":
+        if "lat_ts" in p:
+            ts = np.radians(float(p["lat_ts"]))
+            k0 = float(np.cos(ts) / np.sqrt(1.0 - e2 * np.sin(ts) ** 2))
+        return _merc_fns(a, e2, lon0, k0, x0, y0)
+    if fam == "utm":
+        zone = int(p["zone"])
+        lon0 = float(zone * 6 - 183)
+        return _tmerc_fns(
+            a, e2, 0.0, lon0, 0.9996, 500000.0,
+            10000000.0 if p.get("south") else 0.0,
+        )
+    if fam == "tmerc":
+        return _tmerc_fns(a, e2, lat0, lon0, k0, x0, y0)
+    if fam == "lcc":
+        lat1 = float(p.get("lat_1", lat0))
+        lat2 = float(p.get("lat_2", lat1))
+        return _lcc_fns_from(a, e2, lat1, lat2, lat0, lon0, x0, y0)
+    if fam == "laea":
+        return _laea_fns_from(a, e2, lat0, lon0, x0, y0)
+    if fam == "stere":
+        lat_ts = float(p["lat_ts"]) if "lat_ts" in p else None
+        return _polar_stere_fns(a, e2, lat0, lat_ts, lon0, k0, x0, y0)
+    raise NotImplementedError(
+        f"proj4 family {fam!r} not implemented (longlat, merc, tmerc, utm,"
+        f" lcc, laea, polar stere are): {s!r}"
+    )
+
+
+def _is_proj4(crs: str) -> bool:
+    return crs.lstrip().startswith("+")
+
+
 PointFn = Callable[[np.ndarray, np.ndarray], tuple[np.ndarray, np.ndarray]]
 
 
@@ -525,6 +877,10 @@ def point_transform(src_crs: str, dst_crs: str) -> PointFn:
         return lcc_inverse(src_crs)
     if src_crs == "EPSG:4326" and dst_crs in _LCC_PARAMS:
         return lcc_forward(dst_crs)
+    if _is_proj4(src_crs) and dst_crs == "EPSG:4326":
+        return proj4_fns(src_crs)[1]
+    if src_crs == "EPSG:4326" and _is_proj4(dst_crs):
+        return proj4_fns(dst_crs)[0]
     # projected <-> projected (UTM/LAEA/polar-stereo/3857 in any
     # combination): hop through the 4326 geodetic hub — but only when BOTH
     # legs resolve, so unsupported codes still raise instead of recursing.
@@ -535,6 +891,7 @@ def point_transform(src_crs: str, dst_crs: str) -> PointFn:
             or crs in _POLAR_STEREO_PARAMS
             or crs in _LCC_PARAMS
             or crs == "EPSG:3857"
+            or _is_proj4(crs)
         )
 
     if _hub_ok(src_crs, src_utm) and _hub_ok(dst_crs, dst_utm):
