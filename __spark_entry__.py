@@ -1144,6 +1144,36 @@ def _oracle_resample_lcc() -> str:
     """
 
 
+#: Lambert-93 spelled as a proj4 string — the engine accepts "+proj=..."
+#: CRSs for every implemented family (core/proj.py proj4_fns), like the
+#: reference does through geotrellis-proj4
+_LAMBERT93_PROJ4 = (
+    "+proj=lcc +lat_1=44 +lat_2=49 +lat_0=46.5 +lon_0=3 +x_0=700000"
+    " +y_0=6600000 +ellps=GRS80 +units=m +no_defs"
+)
+
+
+def _q_resample_proj4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warp onto a TARGET GIVEN AS A PROJ4 STRING (the reference accepts any
+    proj4 CRS via geotrellis-proj4, TileRDDReproject.scala:40-419): the
+    Lambert-93 '+proj=lcc ...' spelling must negotiate the identical
+    snapped layout and produce the identical warp as the EPSG:2154
+    registered path — so this query shares resample_lcc's inverse-LCC SQL
+    oracle, and the driver gate proves the proj4 parser + generalized
+    projection math end-to-end."""
+    from openeo_geotrellis_extensions_spark.core.proj import utm_layout_for
+    from openeo_geotrellis_extensions_spark.operators.resample import (
+        resample_spatial,
+    )
+
+    cube = arithmetic_cube(spark, DIGEST_LAYOUT, n_bands=1, cell_type="float64")
+    target = utm_layout_for(
+        DIGEST_LAYOUT, resolution=16000.0, dst_crs=_LAMBERT93_PROJ4
+    )
+    assert target.crs == _LAMBERT93_PROJ4 and target.layout_cols == 3
+    return cube_digest(resample_spatial(cube, target))
+
+
 #: 4x-downscale target for the aggregate (area-average) method query
 _DOWN4_LAYOUT = LayoutDefinition(_Extent(0.0, 0.0, 2.0, 2.0), 1, 1, 4, 4)
 
@@ -3463,6 +3493,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # time-budget cut still gates as many queries as possible.
     return {
         "resample_lcc": _q_resample_lcc,
+        "resample_proj4": _q_resample_proj4,
         "filter_crop": _q_crop,
         "merge_cubes_concat": _q_merge_concat,
         "media_resize": _q_media_resize,
@@ -3569,6 +3600,9 @@ def oracle_sql() -> dict[str, str]:
         "resample_laea": _oracle_resample_laea(),
         "resample_polar": _oracle_resample_polar(),
         "resample_lcc": _oracle_resample_lcc(),
+        # identical target grid and math as resample_lcc by construction —
+        # the proj4 spelling must reproduce the EPSG path bit for bit
+        "resample_proj4": _oracle_resample_lcc(),
         "resample_average": _oracle_resample_average(),
         "load_netcdf": _oracle_load_netcdf(),
         "load_geotiff": _oracle_load_geotiff(),

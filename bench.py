@@ -316,6 +316,42 @@ def skew_ab() -> dict:
         spark.stop()
 
 
+def simhash_ab() -> dict:
+    """A/B for the r4 perf-weak fix: SimHash pigeonhole band-key width.
+    32-bit signatures at radius 3 give 8-bit band keys (256 distinct values
+    per band -> the candidate equi-join degenerates toward N^2/256); 64-bit
+    give 16-bit keys. Reports candidate-pair volume and wall seconds for
+    both widths over the real documents table, plus the surviving
+    (verified) pair counts — recall is guaranteed within the radius at ANY
+    width, so survivors differ only because the wider signature separates
+    non-near docs better."""
+    from openeo_geotrellis_extensions_spark.pipeline.dedup import (
+        simhash_band_candidates,
+        simhash_near_pairs,
+    )
+
+    spark = build_spark(CPUS)
+    try:
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+        n_docs = docs.count()
+        report: dict = {"n_docs": n_docs}
+        for bits in (32, 64):
+            t0 = time.time()
+            cand = simhash_band_candidates(docs, max_hamming=3, bits=bits).count()
+            pairs = simhash_near_pairs(docs, max_hamming=3, bits=bits).count()
+            report[f"bits{bits}"] = {
+                "candidates": cand,
+                "verified_pairs": pairs,
+                "wall_sec": round(time.time() - t0, 3),
+            }
+        report["candidate_reduction"] = round(
+            report["bits32"]["candidates"] / max(1, report["bits64"]["candidates"]), 1
+        )
+        return report
+    finally:
+        spark.stop()
+
+
 def ckpt_overhead_ab() -> dict:
     """A/B: what does checkpoint-resumability COST? The identical 4M-row
     bucketed dataset written (a) bare: repartition(bucket) +
@@ -378,6 +414,9 @@ def main() -> None:
 
     if "--ckpt-overhead-ab" in sys.argv:
         print(json.dumps({"ckpt_overhead_ab": ckpt_overhead_ab()}))
+        return
+    if "--simhash-ab" in sys.argv:
+        print(json.dumps({"simhash_ab": simhash_ab()}))
         return
     if "--zorder-ab" in sys.argv:
         print(json.dumps({"zorder_ab": zorder_ab()}))
