@@ -3285,6 +3285,149 @@ def _oracle_dedup_groups() -> str:
     """
 
 
+def _q_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-one selection over near-duplicate groups (the curation step
+    after group formation): MinHash-LSH -> Jaccard verify -> connected
+    components -> canonical = longest doc per group (tie: smallest id);
+    singletons are their own canonical and never enter the window."""
+    from openeo_geotrellis_extensions_spark.pipeline.dedup import canonical_docs
+
+    docs = spark.read.parquet(_DOCS.format(sf=sf_dir))
+    return canonical_docs(docs, verify_threshold=0.5).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("component").cast("long").alias("component"),
+        F.col("canonical_id").cast("long").alias("canonical_id"),
+        "keep",
+    )
+
+
+def _oracle_canonical_docs() -> str:
+    """The dedup_groups transitive-closure CTE extended with the winner
+    window: canonical = ROW_NUMBER() over (len DESC, id ASC) = 1 per
+    component; singletons appended via anti-join, their own canonical."""
+    return f"""
+        WITH RECURSIVE {_minhash_cand_ctes()},
+        jpairs AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.5),
+        cedges AS (SELECT id_a AS a, id_b AS b FROM jpairs
+                   UNION SELECT id_b, id_a FROM jpairs),
+        reach AS (
+            SELECT a AS id, a AS r FROM cedges
+            UNION
+            SELECT e.a AS id, rr.r
+            FROM cedges e JOIN reach rr ON rr.id = e.b
+        ),
+        comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id),
+        base AS (SELECT doc_id AS id, length(text) AS len FROM documents),
+        grouped AS (SELECT b.id, b.len, c.component
+                    FROM base b JOIN comp c USING (id)),
+        winners AS (
+            SELECT component, id AS canonical_id
+            FROM (SELECT component, id,
+                         ROW_NUMBER() OVER (PARTITION BY component
+                                            ORDER BY len DESC, id ASC) AS rn
+                  FROM grouped)
+            WHERE rn = 1)
+        SELECT g.id AS doc_id, g.component, w.canonical_id,
+               g.id = w.canonical_id AS keep
+        FROM grouped g JOIN winners w USING (component)
+        UNION ALL
+        SELECT id, id, id, TRUE
+        FROM base WHERE id NOT IN (SELECT id FROM comp)
+    """
+
+
+def _q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText rule-based quality filter (Rae et al. 2021): five
+    document-level rules as pure Column expressions (map-only, zero
+    shuffle) with per-rule booleans for rejection-rate accounting."""
+    from openeo_geotrellis_extensions_spark.pipeline.text import gopher_rules
+
+    docs = spark.read.parquet(_DOCS.format(sf=sf_dir))
+    return gopher_rules(docs).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "r_word_count",
+        "r_mean_word_len",
+        "r_symbol_ratio",
+        "r_alpha_words",
+        "r_stopwords",
+        "keep",
+    )
+
+
+def _oracle_gopher_rules() -> str:
+    from openeo_geotrellis_extensions_spark.pipeline.text import (
+        EN_STOPWORDS,
+        GOPHER_BOUNDS,
+    )
+
+    b = GOPHER_BOUNDS
+    sw = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+    return rf"""
+        WITH feats AS (
+            SELECT doc_id,
+                   string_split_regex(trim(text), '\s+') AS words,
+                   length(regexp_replace(text, '\s+', '', 'g')) AS n_nonspace,
+                   length(regexp_replace(text, '[^#]', '', 'g'))
+                     + len(regexp_extract_all(text, '\.\.\.')) AS n_symbols
+            FROM documents),
+        m AS (
+            SELECT doc_id,
+                   len(words) AS n_words,
+                   CAST(n_nonspace AS DOUBLE) / len(words) AS mean_wl,
+                   CAST(n_symbols AS DOUBLE) / len(words) AS sym_ratio,
+                   CAST(len(list_filter(words,
+                        w -> regexp_matches(w, '[a-zA-Z]'))) AS DOUBLE)
+                     / len(words) AS alpha_frac,
+                   len(list_distinct(list_filter(words,
+                        w -> w IN ({sw})))) AS sw_hits
+            FROM feats)
+        SELECT doc_id,
+               (n_words >= {b["min_words"]}
+                AND n_words <= {b["max_words"]}) AS r_word_count,
+               (mean_wl >= {b["min_mean_word_len"]!r}
+                AND mean_wl <= {b["max_mean_word_len"]!r}) AS r_mean_word_len,
+               (sym_ratio <= {b["max_symbol_word_ratio"]!r}) AS r_symbol_ratio,
+               (alpha_frac >= {b["min_alpha_word_ratio"]!r}) AS r_alpha_words,
+               (sw_hits >= {b["min_stopword_hits"]}) AS r_stopwords,
+               (n_words >= {b["min_words"]} AND n_words <= {b["max_words"]}
+                AND mean_wl >= {b["min_mean_word_len"]!r}
+                AND mean_wl <= {b["max_mean_word_len"]!r}
+                AND sym_ratio <= {b["max_symbol_word_ratio"]!r}
+                AND alpha_frac >= {b["min_alpha_word_ratio"]!r}
+                AND sw_hits >= {b["min_stopword_hits"]}) AS keep
+        FROM m
+    """
+
+
+def _q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic contamination-stable train/val/test assignment:
+    disjoint md5 intervals over the content key, so a document's split
+    never changes as the corpus grows or repartitions (unlike randomSplit
+    or count-based slicing). Map-only, zero shuffle."""
+    from openeo_geotrellis_extensions_spark.pipeline.sample import dataset_split
+
+    docs = spark.read.parquet(_DOCS.format(sf=sf_dir))
+    return dataset_split(docs, "doc_id").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "split"
+    )
+
+
+def _oracle_dataset_split() -> str:
+    from openeo_geotrellis_extensions_spark.pipeline.sample import _threshold_hex
+
+    t_train = _threshold_hex(0.9)
+    t_val = _threshold_hex(0.95)
+    return f"""
+        SELECT doc_id,
+               CASE WHEN md5(doc_id::VARCHAR || ':split') < '{t_train}'
+                    THEN 'train'
+                    WHEN md5(doc_id::VARCHAR || ':split') < '{t_val}'
+                    THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    """
+
+
 def _q_stream_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming event-time window + watermark, drained with an
     availableNow trigger — checked against the batch SQL below."""
@@ -3494,6 +3637,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "resample_lcc": _q_resample_lcc,
         "resample_proj4": _q_resample_proj4,
+        "dataset_split": _q_dataset_split,
+        "gopher_rules": _q_gopher_rules,
+        "canonical_docs": _q_canonical_docs,
         "filter_crop": _q_crop,
         "merge_cubes_concat": _q_merge_concat,
         "media_resize": _q_media_resize,
@@ -3603,6 +3749,9 @@ def oracle_sql() -> dict[str, str]:
         # identical target grid and math as resample_lcc by construction —
         # the proj4 spelling must reproduce the EPSG path bit for bit
         "resample_proj4": _oracle_resample_lcc(),
+        "dataset_split": _oracle_dataset_split(),
+        "gopher_rules": _oracle_gopher_rules(),
+        "canonical_docs": _oracle_canonical_docs(),
         "resample_average": _oracle_resample_average(),
         "load_netcdf": _oracle_load_netcdf(),
         "load_geotiff": _oracle_load_geotiff(),

@@ -512,6 +512,58 @@ def connected_components(
     return labels
 
 
+def canonical_docs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    verify_threshold: float = 0.5,
+) -> DataFrame:
+    """Keep-one selection over near-duplicate groups — the step a curation
+    pipeline runs AFTER group formation: MinHash-LSH candidates -> exact
+    Jaccard verify -> connected components -> one CANONICAL doc per group
+    (longest text, tie -> smallest id; singletons are their own canonical).
+    -> (doc_id, component, canonical_id, keep).
+
+    100 TB shape: the dedup path's shuffles (banding equi-join + label
+    propagation) plus a window over GROUPED docs only — singletons (the
+    overwhelming majority of a real corpus) never enter the window or any
+    extra join: their branch is a map-only left-anti against the component
+    table, which is sized by duplicate docs, not the corpus."""
+    comp = connected_components(
+        minhash_lsh_pairs(
+            df, text_col, id_col,
+            num_hashes=num_hashes, bands=bands,
+            verify_threshold=verify_threshold,
+        )
+    )
+    base = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.length(text_col).alias("_len"),
+    )
+    grouped = base.join(comp, "id")  # only docs that are in some dup pair
+    w = Window.partitionBy("component").orderBy(F.desc("_len"), F.asc("id"))
+    annotated = (
+        grouped.withColumn(
+            "canonical_id", F.first("id").over(w)
+        )  # row 1 of the (len desc, id asc) order = the group's canonical
+        .select(
+            F.col("id").alias("doc_id"),
+            "component",
+            "canonical_id",
+            (F.col("id") == F.col("canonical_id")).alias("keep"),
+        )
+    )
+    singles = base.join(comp, "id", "left_anti").select(
+        F.col("id").alias("doc_id"),
+        F.col("id").alias("component"),
+        F.col("id").alias("canonical_id"),
+        F.lit(True).alias("keep"),
+    )
+    return annotated.unionByName(singles)
+
+
 def ngram_contamination(
     df: DataFrame,
     benchmark: DataFrame,

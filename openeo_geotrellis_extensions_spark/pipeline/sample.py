@@ -93,6 +93,40 @@ def importance_sample(
     return df.where(digest < thr).drop("_mean_wt")
 
 
+def dataset_split(
+    df: DataFrame,
+    key_col: str,
+    fractions: dict[str, float] | None = None,
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic train/validation/test ASSIGNMENT (not a filter): every
+    row gets a ``split`` label from disjoint md5 intervals —
+    ``[0, f_train) -> train, [f_train, f_train+f_val) -> val, rest ->
+    test``. Content-keyed, so the same document lands in the same split
+    regardless of partitioning, cluster size, engine, or the order other
+    documents arrive in — the property that keeps eval sets
+    contamination-stable as the corpus grows (new docs never MOVE old docs
+    across splits, unlike randomSplit or any count-based slicing).
+
+    Map-only Column expression: zero shuffle at any scale."""
+    fractions = fractions or {"train": 0.9, "val": 0.05, "test": 0.05}
+    if abs(sum(fractions.values()) - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must sum to 1, got {fractions}")
+    if len(fractions) < 2:
+        raise ValueError("need at least two splits")
+    digest = F.md5(F.concat(F.col(key_col).cast("string"), F.lit(f":{salt}")))
+    expr = None
+    cum = 0.0
+    names = list(fractions)
+    for name in names[:-1]:  # last split takes the remainder interval
+        cum += fractions[name]
+        branch = F.when(digest < F.lit(_threshold_hex(cum)), F.lit(name))
+        expr = branch if expr is None else expr.when(
+            digest < F.lit(_threshold_hex(cum)), F.lit(name)
+        )
+    return df.withColumn("split", expr.otherwise(F.lit(names[-1])))
+
+
 def stratified_sample(
     df: DataFrame,
     strata_col: str,

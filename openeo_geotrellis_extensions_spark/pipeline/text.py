@@ -141,6 +141,61 @@ def quality_classifier(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+#: Gopher / MassiveText repetition-free document-level rule bounds
+#: (Rae et al. 2021, "Scaling Language Models", Table A1 shape) — the
+#: standard rule-based pre-training filter; thresholds are the published
+#: ones except the word-count floor, scaled to the fixture's short docs
+GOPHER_BOUNDS = {
+    "min_words": 10,
+    "max_words": 100_000,
+    "min_mean_word_len": 2.0,
+    "max_mean_word_len": 10.0,
+    "max_symbol_word_ratio": 0.1,
+    "min_alpha_word_ratio": 0.8,
+    "min_stopword_hits": 2,
+}
+
+
+def gopher_rules(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style document-level quality rules as pure Column expressions
+    (map-only, whole-stage codegen, zero shuffle at 100 TB): word-count
+    bounds, mean-word-length bounds, symbol-to-word ratio ('#'/ellipsis),
+    alphabetic-word fraction, and distinct-stopword hits. Emits one boolean
+    per rule plus the conjunction ``keep`` — rule-level booleans are what a
+    curation pipeline aggregates for per-rule rejection stats."""
+    b = GOPHER_BOUNDS
+    t = F.col(text_col)
+    words = F.split(F.trim(t), "\\s+")
+    n_words = F.size(words)
+    mean_wl = F.length(F.regexp_replace(t, "\\s+", "")) / n_words
+    n_symbols = F.length(F.regexp_replace(t, "[^#]", "")) + F.size(
+        F.regexp_extract_all(t, F.lit("\\.\\.\\."), F.lit(0))
+    )
+    alpha_frac = (
+        F.expr(f"size(filter(split(trim({text_col}), '\\\\s+'), w -> w rlike '[a-zA-Z]'))")
+        / n_words
+    )
+    sw = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+    sw_hits = F.expr(
+        f"size(array_distinct(filter(split(trim({text_col}), '\\\\s+'),"
+        f" w -> w IN ({sw}))))"
+    )
+    rules = {
+        "r_word_count": (n_words >= b["min_words"]) & (n_words <= b["max_words"]),
+        "r_mean_word_len": (mean_wl >= b["min_mean_word_len"])
+        & (mean_wl <= b["max_mean_word_len"]),
+        "r_symbol_ratio": (n_symbols / n_words) <= b["max_symbol_word_ratio"],
+        "r_alpha_words": alpha_frac >= b["min_alpha_word_ratio"],
+        "r_stopwords": sw_hits >= b["min_stopword_hits"],
+    }
+    out = df
+    keep = F.lit(True)
+    for name, c in rules.items():
+        out = out.withColumn(name, c)
+        keep = keep & c
+    return out.withColumn("keep", keep)
+
+
 def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """n-gram/stopword-marker language ID: score = marker-word hits per
     language, predicted = argmax (ties -> lexicographically first language,

@@ -388,6 +388,89 @@ def test_simhash_near_pairs_rejects_zero_width_bands(spark):
         simhash_near_pairs(docs, max_hamming=16, bits=16).count()
 
 
+def test_gopher_rules_each_rule_fires(spark):
+    """One doc per rule violation; the good doc passes all five."""
+    from openeo_geotrellis_extensions_spark.pipeline.text import gopher_rules
+
+    good = "the quick brown fox and a lazy dog walk to the old mill of town"
+    docs = spark.createDataFrame(
+        [
+            (0, good),
+            (1, "too few words here"),  # word count
+            (2, "a " * 14 + "the of"),  # mean word len < 2
+            (3, "the # of # a # to # and # is # it # in # or # an # word"),
+            (4, "the 1 2 3 4 5 6 7 8 9 10 11 12 13 of"),  # alpha frac
+            (5, "zebra quokka wombat numbat dingo koala emu bilby yabby dugong"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in gopher_rules(docs).collect()}
+    assert rows[0].keep
+    assert not rows[1].r_word_count and not rows[1].keep
+    assert not rows[2].r_mean_word_len and not rows[2].keep
+    assert not rows[3].r_symbol_ratio and not rows[3].keep
+    assert not rows[4].r_alpha_words and not rows[4].keep
+    assert not rows[5].r_stopwords and not rows[5].keep
+
+
+def test_canonical_docs_keep_one_per_group(spark):
+    """A near-dup cluster keeps exactly its longest member (tie -> smallest
+    id); singletons keep themselves; every doc appears exactly once."""
+    from openeo_geotrellis_extensions_spark.pipeline.dedup import canonical_docs
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " extra"),         # same cluster, longest -> canonical
+            (3, base + " extri"),         # same cluster, same len as 2 -> id 2 wins
+            (7, "totally different words about nothing in particular here"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in canonical_docs(docs).collect()}
+    assert set(rows) == {1, 2, 3, 7}
+    assert rows[1].component == rows[2].component == rows[3].component
+    assert all(rows[i].canonical_id == 2 for i in (1, 2, 3))
+    assert rows[2].keep and not rows[1].keep and not rows[3].keep
+    assert rows[7].keep and rows[7].canonical_id == 7  # singleton
+    assert sum(r.keep for r in rows.values()) == 2
+
+
+def test_dataset_split_stable_and_complete(spark):
+    """Every row gets exactly one split; assignments are content-keyed
+    (identical under repartitioning AND under corpus growth — old docs
+    never move when new docs arrive); fractions land near targets."""
+    import pytest as _pytest
+
+    from openeo_geotrellis_extensions_spark.pipeline.sample import dataset_split
+
+    df = spark.range(4000).withColumnRenamed("id", "doc_id")
+    got = dataset_split(df, "doc_id")
+    counts = {r["split"]: r["count"] for r in got.groupBy("split").count().collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] + counts["val"] + counts["test"] == 4000
+    assert abs(counts["train"] / 4000 - 0.9) < 0.03
+    a = {r.doc_id: r["split"] for r in got.collect()}
+    b = {
+        r.doc_id: r["split"]
+        for r in dataset_split(df.repartition(13), "doc_id").collect()
+    }
+    assert a == b  # repartition-stable
+    grown = {
+        r.doc_id: r["split"]
+        for r in dataset_split(
+            spark.range(8000).withColumnRenamed("id", "doc_id"), "doc_id"
+        ).collect()
+    }
+    assert all(grown[k] == v for k, v in a.items())  # growth never moves docs
+
+    with _pytest.raises(ValueError, match="sum to 1"):
+        dataset_split(df, "doc_id", {"train": 0.5, "test": 0.4})
+    with _pytest.raises(ValueError, match="two splits"):
+        dataset_split(df, "doc_id", {"train": 1.0})
+
+
 def test_ngram_contamination_planted(spark):
     """Decontamination: a training doc embedding a benchmark 8-gram is
     flagged with the right window counts; clean docs are not; short docs
