@@ -487,23 +487,21 @@ def connected_components(
             labels.join(neigh, "id", "left")
             .select(
                 "id",
+                F.col("component").alias("_old"),
                 F.least(F.col("component"), F.coalesce("nc", "component")).alias(
                     "component"
                 ),
             )
         )
         # checkpoint FIRST, then test convergence against the materialized
-        # result — the old order computed new_labels twice per round (once
-        # for the changed-count action, once inside the eager checkpoint)
+        # result; the OLD label rides along as a column, so the convergence
+        # probe is a scan of the checkpoint — no extra shuffle join per
+        # round (the former new-vs-old equi-join)
         ckpt = new_labels.localCheckpoint(eager=True)  # cut lineage per round
         changed = (
-            ckpt.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
+            ckpt.where(F.col("component") != F.col("_old")).limit(1).count()
         )
-        labels = ckpt
+        labels = ckpt.drop("_old")
         if changed == 0:
             break
     # labels is checkpointed, so the cached edges are no longer reachable —
