@@ -1727,6 +1727,54 @@ _ORACLE_UNIGRAM_LM = r"""
 """
 
 
+def _q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated corpus-self bigram LM quality scoring (the word-order
+    signal the unigram filter cannot see); integer micro-nat quantization
+    keeps the per-doc mean order-proof and engine-exact."""
+    from openeo_geotrellis_extensions_spark.pipeline.text import (
+        bigram_logprob_scores,
+    )
+
+    docs = spark.read.parquet(_DOCS.format(sf=sf_dir))
+    return bigram_logprob_scores(docs).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "n_bigrams", "nll"
+    )
+
+
+_ORACLE_BIGRAM_LM = r"""
+    WITH norm AS (SELECT doc_id,
+                         regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+                  FROM documents),
+    w AS (SELECT doc_id, string_split(t, ' ') AS words FROM norm),
+    wrds AS (SELECT doc_id, unnest(words) AS word FROM w),
+    toks AS (SELECT doc_id, word FROM wrds WHERE word != ''),
+    vocab AS (SELECT word, COUNT(*) AS c FROM toks GROUP BY 1),
+    tot AS (SELECT SUM(c) AS n_total, COUNT(*) AS v_size FROM vocab),
+    pos AS (SELECT doc_id, words, unnest(range(1, len(words))) AS i FROM w),
+    bi AS (SELECT doc_id, words[i] AS w1, words[i + 1] AS w2 FROM pos
+           WHERE words[i] != '' AND words[i + 1] != ''),
+    bic AS (SELECT w1, w2, COUNT(*) AS cb FROM bi GROUP BY 1, 2),
+    nl AS (SELECT b.doc_id,
+                  CAST(round(-ln(
+                      0.7 * ((bc.cb + 0.5) / (v1.c + 0.5 * v_size))
+                      -- 0.30000000000000004 = the exact IEEE double of the
+                      -- engine's (1.0 - 0.7); a plain 0.3 literal is a
+                      -- DIFFERENT double and flips micro-nat roundings
+                      + 0.30000000000000004
+                        * ((v2.c + 0.5) / (n_total + 0.5 * v_size))
+                  ) * 1000000.0) AS BIGINT) AS u
+           FROM bi b
+           JOIN bic bc ON bc.w1 = b.w1 AND bc.w2 = b.w2
+           JOIN vocab v1 ON v1.word = b.w1
+           JOIN vocab v2 ON v2.word = b.w2, tot)
+    SELECT doc_id,
+           CAST(COUNT(*) AS INT) AS n_bigrams,
+           ROUND(SUM(u) / (COUNT(*) * 1000000.0), 6) AS nll
+    FROM nl
+    GROUP BY 1
+"""
+
+
 def _q_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-weighted deterministic sampling (data-mixing step):
     p = min(1, 0.07 * sqrt(n_chars)), decided by the content-keyed md5
@@ -3639,6 +3687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resample_proj4": _q_resample_proj4,
         "dataset_split": _q_dataset_split,
         "gopher_rules": _q_gopher_rules,
+        "bigram_lm": _q_bigram_lm,
         "canonical_docs": _q_canonical_docs,
         "filter_crop": _q_crop,
         "merge_cubes_concat": _q_merge_concat,
@@ -3751,6 +3800,7 @@ def oracle_sql() -> dict[str, str]:
         "resample_proj4": _oracle_resample_lcc(),
         "dataset_split": _oracle_dataset_split(),
         "gopher_rules": _oracle_gopher_rules(),
+        "bigram_lm": _ORACLE_BIGRAM_LM,
         "canonical_docs": _oracle_canonical_docs(),
         "resample_average": _oracle_resample_average(),
         "load_netcdf": _oracle_load_netcdf(),

@@ -8,7 +8,7 @@ Each has a DuckDB-portable formulation used by the driver oracles.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: tiny per-language stopword marker lists (shared with oracle SQL)
@@ -282,6 +282,77 @@ def unigram_logprob_scores(
             "n_tokens",
             F.round(
                 F.col("_u") / (F.col("n_tokens") * F.lit(1_000_000.0)), 6
+            ).alias("nll"),
+        )
+    )
+
+
+def bigram_logprob_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.5,
+    lam: float = 0.7,
+) -> DataFrame:
+    """Interpolated bigram LM scoring — the step up from
+    :func:`unigram_logprob_scores` (CCNet uses a 5-gram KenLM; the bigram
+    captures the word-ORDER signal a unigram cannot: shuffled fluent text
+    scores like fluent text under a unigram but junk under a bigram).
+
+    Per document: mean over adjacent word pairs (w1, w2) of
+    ``-ln(lam * p_b(w2|w1) + (1-lam) * p_u(w2))`` with add-alpha smoothing,
+    both distributions estimated from the corpus itself:
+    ``p_b = (c(w1 w2) + alpha) / (c(w1) + alpha * V)``,
+    ``p_u = (c(w2) + alpha) / (N + alpha * V)``. Per-pair logprobs quantize
+    to INTEGER micro-nats before the mean (order-proof sums, the
+    unigram/tfidf oracle precedent). -> (id_col, n_bigrams, nll); documents
+    with fewer than two tokens produce no row.
+
+    Scale shape: one window shuffle on the doc id forms pairs, two
+    groupBys build the distributions, and the pair->stats equi-joins carry
+    ONE build row per (bigram | word) — Zipf heads are wide-but-flat join
+    keys (AQE skew split), never quadratic buckets."""
+    t = F.regexp_replace(F.lower(F.trim(F.col(text_col))), "\\s+", " ")
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(t, " ")).alias("pos", "word"),
+    ).where(F.col("word") != "")
+    win = Window.partitionBy("id").orderBy("pos")
+    bi = toks.withColumn("w2", F.lead("word").over(win)).where(
+        F.col("w2").isNotNull()
+    ).select("id", F.col("word").alias("w1"), "w2")
+    vocab = toks.groupBy("word").agg(F.count("*").alias("c"))
+    totals = vocab.agg(F.sum("c").alias("n_total"), F.count("*").alias("v_size"))
+    bic = bi.groupBy("w1", "w2").agg(F.count("*").alias("cb"))
+    p_b = (F.col("cb") + F.lit(alpha)) / (
+        F.col("c1") + F.lit(alpha) * F.col("v_size")
+    )
+    p_u = (F.col("c2") + F.lit(alpha)) / (
+        F.col("n_total") + F.lit(alpha) * F.col("v_size")
+    )
+    scored = (
+        bi.join(bic, ["w1", "w2"])
+        .join(vocab.select(F.col("word").alias("w1"), F.col("c").alias("c1")), "w1")
+        .join(vocab.select(F.col("word").alias("w2"), F.col("c").alias("c2")), "w2")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "id",
+            F.round(
+                -F.log(F.lit(lam) * p_b + F.lit(1.0 - lam) * p_u)
+                * F.lit(1_000_000.0)
+            )
+            .cast("long")
+            .alias("nl_u"),
+        )
+    )
+    return (
+        scored.groupBy("id")
+        .agg(F.count("*").cast("int").alias("n_bigrams"), F.sum("nl_u").alias("_s"))
+        .select(
+            F.col("id").alias(id_col),
+            "n_bigrams",
+            F.round(
+                F.col("_s") / (F.col("n_bigrams") * F.lit(1_000_000.0)), 6
             ).alias("nll"),
         )
     )

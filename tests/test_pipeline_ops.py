@@ -388,6 +388,33 @@ def test_simhash_near_pairs_rejects_zero_width_bands(spark):
         simhash_near_pairs(docs, max_hamming=16, bits=16).count()
 
 
+def test_bigram_lm_sees_word_order(spark):
+    """The design motivation: a doc made of the corpus's own words in
+    SHUFFLED order has near-identical unigram NLL but clearly worse bigram
+    NLL than the repeated fluent pattern it was shuffled from."""
+    from openeo_geotrellis_extensions_spark.pipeline.text import (
+        bigram_logprob_scores,
+        unigram_logprob_scores,
+    )
+
+    fluent = "the cat sat on the mat and the dog ran to the door"
+    words = fluent.split()
+    shuffled = " ".join(
+        [words[i] for i in (7, 2, 11, 0, 9, 4, 6, 1, 10, 3, 12, 5, 8)]
+    )
+    rows = [(i, fluent) for i in range(20)] + [(100, shuffled)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    uni = {r.doc_id: r.nll for r in unigram_logprob_scores(docs).collect()}
+    bi = {r.doc_id: r.nll for r in bigram_logprob_scores(docs).collect()}
+    assert abs(uni[100] - uni[0]) < 0.05  # unigram: shuffle is invisible
+    assert bi[100] > bi[0] + 0.5  # bigram: order violation costs real nats
+    assert all(r.n_bigrams == len(words) - 1 for r in
+               bigram_logprob_scores(docs).collect() if r.doc_id == 0)
+    # docs with < 2 tokens produce no bigram row
+    tiny = spark.createDataFrame([(1, "word")], ["doc_id", "text"])
+    assert bigram_logprob_scores(tiny).count() == 0
+
+
 def test_gopher_rules_each_rule_fires(spark):
     """One doc per rule violation; the good doc passes all five."""
     from openeo_geotrellis_extensions_spark.pipeline.text import gopher_rules
