@@ -3476,6 +3476,45 @@ def _oracle_dataset_split() -> str:
     """
 
 
+def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization through Spark's NATIVE session_window
+    (Catalyst SessionWindow — the same operator runs in batch and
+    streaming): sessions merge while consecutive events arrive < 30 min
+    apart; the oracle is the classic gaps-and-islands LAG + running-sum
+    SQL."""
+    from openeo_geotrellis_extensions_spark.streaming.events import (
+        sessionized_event_stats,
+    )
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return sessionized_event_stats(events, gap="30 minutes")
+
+
+_ORACLE_SESSIONIZE = """
+    WITH o AS (
+        SELECT user_id, ts, value, event_id,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id)
+                         >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS brk
+        FROM events),
+    s AS (
+        SELECT *,
+               SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+        FROM o)
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(MAX(ts) + INTERVAL 30 MINUTE,
+                    '%Y-%m-%d %H:%M:%S') AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 4) AS sum_value,
+           MIN(event_id) AS first_event_id
+    FROM s
+    GROUP BY user_id, sid
+"""
+
+
 def _q_stream_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming event-time window + watermark, drained with an
     availableNow trigger — checked against the batch SQL below."""
@@ -3688,6 +3727,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_split": _q_dataset_split,
         "gopher_rules": _q_gopher_rules,
         "bigram_lm": _q_bigram_lm,
+        "sessionize": _q_sessionize,
         "canonical_docs": _q_canonical_docs,
         "filter_crop": _q_crop,
         "merge_cubes_concat": _q_merge_concat,
@@ -3801,6 +3841,7 @@ def oracle_sql() -> dict[str, str]:
         "dataset_split": _oracle_dataset_split(),
         "gopher_rules": _oracle_gopher_rules(),
         "bigram_lm": _ORACLE_BIGRAM_LM,
+        "sessionize": _ORACLE_SESSIONIZE,
         "canonical_docs": _oracle_canonical_docs(),
         "resample_average": _oracle_resample_average(),
         "load_netcdf": _oracle_load_netcdf(),

@@ -65,6 +65,56 @@ def windowed_event_stats(
 
 
 
+def sessionized_event_stats(
+    events: DataFrame, gap: str = "30 minutes"
+) -> DataFrame:
+    """Gap-based SESSIONIZATION via Spark's native session window (merges
+    events whose [ts, ts+gap) windows overlap; a session ends when the next
+    event arrives >= gap after the previous one). Works on a batch OR
+    streaming DataFrame — in streaming, add a watermark first and drain in
+    append mode (sessions emit once the watermark passes their end).
+
+    -> (user_id, session_start, session_end, n_events, sum_value,
+    first_event_id), session_end = last event + gap (the session-window
+    upper bound). One shuffle on (user_id) at any scale; session state is
+    bounded per user by the gap."""
+    return (
+        events.groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.min("event_id").alias("first_event_id"),
+        )
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
+            "sum_value",
+            "first_event_id",
+        )
+    )
+
+
+def sessionized_stream(
+    spark: SparkSession,
+    source_dir: str,
+    gap: str = "30 minutes",
+    watermark: str = "2 days",
+) -> DataFrame:
+    """Streaming sessionization: file-source stream + watermark + the SAME
+    session-window aggregation as the batch path (append mode — a session
+    emits exactly once, when the watermark passes its end; sessions still
+    open against the watermark are withheld, so a drained availableNow run
+    yields the batch result restricted to watermark-closed sessions)."""
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(source_dir)
+    )
+    return sessionized_event_stats(stream.withWatermark("ts", watermark), gap)
+
+
 def stream_static_enriched_stats(
     spark: SparkSession,
     source_dir: str,

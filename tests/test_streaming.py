@@ -32,6 +32,40 @@ def test_stream_matches_batch(spark, tmp_path):
     assert a == b
 
 
+def test_streaming_sessionize_is_batch_subset(spark, tmp_path):
+    """Session windows under Structured Streaming (append + watermark): a
+    drained availableNow run must emit EXACTLY the batch sessionization
+    restricted to sessions the final watermark closed — same rows, none
+    extra, and the withheld remainder are precisely the late-tail
+    sessions."""
+    from openeo_geotrellis_extensions_spark.streaming.events import (
+        run_stream_append_to_memory,
+        sessionized_event_stats,
+        sessionized_stream,
+    )
+
+    src = str(tmp_path / "events_sess")
+    shutil.copytree(SF, src, ignore=shutil.ignore_patterns("[!e]*"))
+    stream = sessionized_stream(spark, src, gap="30 minutes", watermark="1 hour")
+    got = {
+        tuple(r)
+        for r in run_stream_append_to_memory(stream, name="t_sess").collect()
+    }
+    events = spark.read.parquet(f"{SF}/events.parquet")
+    batch = sessionized_event_stats(events, gap="30 minutes")
+    wm = events.agg(
+        F.date_format(
+            F.max("ts") - F.expr("INTERVAL 1 HOUR"), "yyyy-MM-dd HH:mm:ss"
+        ).alias("w")
+    ).collect()[0]["w"]
+    closed = {
+        tuple(r) for r in batch.where(F.col("session_end") < F.lit(wm)).collect()
+    }
+    assert got  # stream emitted real sessions
+    assert got == closed  # exactly the watermark-closed batch sessions
+    assert batch.count() > len(closed)  # the open tail was withheld, exists
+
+
 def test_streaming_dedup_first_seen_across_batches(spark, tmp_path):
     """applyInPandasWithState custom stateful operator: one output row per
     distinct content hash across ALL micro-batches (duplicates dropped both
