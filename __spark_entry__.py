@@ -3515,6 +3515,48 @@ _ORACLE_SESSIONIZE = """
 """
 
 
+def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/asof.py): every non-error event picks up the
+    LATEST preceding error of the same user — the union + sorted-window
+    carry-forward formulation (one shuffle, O(L+R), no theta join). The
+    oracle is DuckDB's NATIVE ASOF LEFT JOIN over the identical deduped
+    right side, so the semantics are pinned against an independent
+    implementation of the operator itself."""
+    from openeo_geotrellis_extensions_spark.operators.asof import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    left = ev.where(F.col("event_type") != "error").select(
+        "event_id", "user_id", "ts"
+    )
+    right = ev.where(F.col("event_type") == "error").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    j = asof_join(left, right, on="user_id", ts_col="ts",
+                  value_cols=["event_id", "value"])
+    return j.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("event_id_r").cast("long").alias("err_event_id"),
+        F.col("value_r").alias("err_value"),
+    )
+
+
+_ORACLE_ASOF_JOIN = """
+    WITH r AS (
+        SELECT user_id, ts, event_id, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                                  ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type = 'error'),
+    r1 AS (SELECT user_id, ts, event_id, value FROM r WHERE rn = 1),
+    l AS (SELECT event_id, user_id, ts FROM events
+          WHERE event_type != 'error')
+    SELECT l.event_id, l.user_id,
+           r1.event_id AS err_event_id, r1.value AS err_value
+    FROM l ASOF LEFT JOIN r1
+      ON l.user_id = r1.user_id AND l.ts >= r1.ts
+"""
+
+
 def _q_stream_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming event-time window + watermark, drained with an
     availableNow trigger — checked against the batch SQL below."""
@@ -3728,6 +3770,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_rules": _q_gopher_rules,
         "bigram_lm": _q_bigram_lm,
         "sessionize": _q_sessionize,
+        "asof_join": _q_asof_join,
         "canonical_docs": _q_canonical_docs,
         "filter_crop": _q_crop,
         "merge_cubes_concat": _q_merge_concat,
@@ -3842,6 +3885,7 @@ def oracle_sql() -> dict[str, str]:
         "gopher_rules": _oracle_gopher_rules(),
         "bigram_lm": _ORACLE_BIGRAM_LM,
         "sessionize": _ORACLE_SESSIONIZE,
+        "asof_join": _ORACLE_ASOF_JOIN,
         "canonical_docs": _oracle_canonical_docs(),
         "resample_average": _oracle_resample_average(),
         "load_netcdf": _oracle_load_netcdf(),

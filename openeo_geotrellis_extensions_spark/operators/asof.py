@@ -1,0 +1,90 @@
+"""As-of (nearest-preceding) join — the canonical time-series operator
+Spark's join zoo lacks (DataFrames offer equi/range via theta joins only;
+pandas has merge_asof, DuckDB/kdb have ASOF JOIN).
+
+Spark-first formulation: instead of a per-key loop or an O(L*R)
+inequality join, UNION the two sides tagged left/right, sort each key
+partition by (ts, side) once, and carry the latest right-side payload
+forward with a last_value(ignorenulls) running window. One shuffle on the
+key, O(L + R) rows total, no theta join anywhere — survives any key
+cardinality because a hot key is a single sorted partition stream, not a
+quadratic bucket.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    ts_col: str = "ts",
+    value_cols: list[str] | None = None,
+    tolerance_expr: str | None = None,
+    suffix: str = "_r",
+) -> DataFrame:
+    """For every left row, attach the LATEST right row with
+    ``right.ts <= left.ts`` within the same ``on`` key(s) (backward
+    inclusive, the pandas merge_asof / DuckDB ``ASOF JOIN ... ON l.ts >=
+    r.ts`` semantics). Left rows keep all their columns; the matched right
+    ``value_cols`` arrive suffixed, NULL when no right row precedes.
+
+    ``tolerance_expr`` (an INTERVAL SQL string, e.g. ``"INTERVAL 1
+    HOUR"``) null-outs matches staler than the tolerance — pandas
+    merge_asof's ``tolerance``.
+
+    Right rows sharing an exact (key, ts) are reduced to ONE deterministic
+    winner (max over ``value_cols`` tuple order — engines disagreeing on
+    which duplicate wins would make the join nondeterministic).
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    if value_cols is None:
+        value_cols = [
+            c for c in right.columns if c not in keys and c != ts_col
+        ]
+    # deterministic winner among exact-tie right rows
+    r_unique = right.groupBy(*keys, ts_col).agg(
+        F.max(F.struct(*value_cols)).alias("_rv")
+    )
+    tagged_r = r_unique.select(
+        *keys,
+        F.col(ts_col),
+        F.lit(0).alias("_side"),
+        F.col("_rv"),
+    )
+    tagged_l = left.select(
+        *keys,
+        F.col(ts_col),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(tagged_r.schema["_rv"].dataType).alias("_rv"),
+        F.struct(*[c for c in left.columns]).alias("_lrow"),
+    )
+    tagged_r = tagged_r.withColumn(
+        "_lrow", F.lit(None).cast(tagged_l.schema["_lrow"].dataType)
+    )
+    both = tagged_l.unionByName(tagged_r)
+    # right rows (side 0) sort BEFORE left rows at equal ts -> inclusive <=
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(ts_col).asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = both.withColumn(
+        "_match", F.last("_rv", ignorenulls=True).over(w)
+    ).withColumn(
+        "_match_ts", F.last(F.when(F.col("_side") == 0, F.col(ts_col)), True).over(w)
+    )
+    out = carried.where(F.col("_side") == 1)
+    if tolerance_expr is not None:
+        fresh = F.col(ts_col) - F.expr(tolerance_expr) <= F.col("_match_ts")
+        out = out.withColumn("_match", F.when(fresh, F.col("_match"))).withColumn(
+            "_match_ts", F.when(fresh, F.col("_match_ts"))
+        )
+    return out.select(
+        *[F.col("_lrow")[c].alias(c) for c in left.columns],
+        *[F.col("_match")[c].alias(f"{c}{suffix}") for c in value_cols],
+        F.col("_match_ts").alias(f"{ts_col}{suffix}"),
+    )

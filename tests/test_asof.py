@@ -1,0 +1,99 @@
+"""As-of join (operators/asof.py) — the union + sorted-window formulation
+must match a brute-force per-row scan, handle tolerance, resolve exact-ts
+ties deterministically, and never plan a theta join."""
+
+from datetime import datetime, timedelta
+
+from pyspark.sql import functions as F
+
+from openeo_geotrellis_extensions_spark.operators.asof import asof_join
+
+T0 = datetime(2024, 1, 1)
+
+
+def _ts(minutes):
+    return T0 + timedelta(minutes=minutes)
+
+
+def test_asof_matches_bruteforce_and_tolerance(spark):
+    left = spark.createDataFrame(
+        [(i, 1 + (i % 3), _ts(i * 7)) for i in range(60)],
+        ["event_id", "user_id", "ts"],
+    )
+    right = spark.createDataFrame(
+        [(100 + i, 1 + (i % 4), _ts(i * 11 + 3), float(i)) for i in range(40)],
+        ["event_id", "user_id", "ts", "value"],
+    )
+    got = {
+        r.event_id: (r.event_id_r, r.value_r)
+        for r in asof_join(
+            left, right, on="user_id", value_cols=["event_id", "value"]
+        ).collect()
+    }
+    lrows = left.collect()
+    rrows = right.collect()
+    assert len(got) == len(lrows)
+    for lr in lrows:
+        cand = [
+            rr for rr in rrows if rr.user_id == lr.user_id and rr.ts <= lr.ts
+        ]
+        want = max(cand, key=lambda r: (r.ts, r.event_id), default=None)
+        if want is None:
+            assert got[lr.event_id] == (None, None)
+        else:
+            assert got[lr.event_id] == (want.event_id, want.value)
+
+    # tolerance: matches staler than 30 minutes are nulled
+    tol = {
+        r.event_id: r.event_id_r
+        for r in asof_join(
+            left, right, on="user_id", value_cols=["event_id", "value"],
+            tolerance_expr="INTERVAL 30 MINUTES",
+        ).collect()
+    }
+    for lr in lrows:
+        cand = [
+            rr for rr in rrows if rr.user_id == lr.user_id and rr.ts <= lr.ts
+        ]
+        want = max(cand, key=lambda r: (r.ts, r.event_id), default=None)
+        if want is None or lr.ts - want.ts > timedelta(minutes=30):
+            assert tol[lr.event_id] is None
+        else:
+            assert tol[lr.event_id] == want.event_id
+
+
+def test_asof_exact_tie_is_inclusive_and_deterministic(spark):
+    """right.ts == left.ts matches (backward INCLUSIVE); duplicate right
+    rows at one (key, ts) resolve to the max value_cols tuple."""
+    left = spark.createDataFrame([(1, 9, _ts(10))], ["event_id", "user_id", "ts"])
+    right = spark.createDataFrame(
+        [(50, 9, _ts(10), 1.0), (51, 9, _ts(10), 2.0)],
+        ["event_id", "user_id", "ts", "value"],
+    )
+    (row,) = asof_join(
+        left, right, on="user_id", value_cols=["event_id", "value"]
+    ).collect()
+    assert row.event_id_r == 51 and row.value_r == 2.0
+    assert row.ts_r == _ts(10)
+
+
+def test_asof_plan_has_no_theta_join(spark):
+    """The scale property: one shuffle on the key, no Cartesian/
+    nested-loop join anywhere in the physical plan."""
+    left = spark.range(100).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") % 5).alias("user_id"),
+        F.timestamp_seconds(F.col("id") * 60).alias("ts"),
+    )
+    right = spark.range(50).select(
+        (F.col("id") % 7).alias("user_id"),
+        F.timestamp_seconds(F.col("id") * 90).alias("ts"),
+        F.col("id").alias("event_id"),
+        F.rand(1).alias("value"),
+    )
+    df = asof_join(left, right, on="user_id", value_cols=["event_id", "value"])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert df.count() == 100
