@@ -3541,6 +3541,59 @@ def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed range join (operators/asof.py:interval_point_join): events
+    against a deterministic per-user interval table (4 arithmetic windows
+    per user). Candidates come from a (user_id, hour-bucket) EQUI-join —
+    never the theta join Spark would otherwise plan — and the exact
+    half-open predicate refines; the oracle runs the plain inequality join
+    in DuckDB."""
+    from openeo_geotrellis_extensions_spark.operators.asof import (
+        interval_point_join,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "ts"
+    )
+    base = 1704067200  # 2024-01-01T00:00:00Z
+    off = (F.col("user_id") * 37 + F.col("i") * 113) % 600
+    iv = (
+        ev.select("user_id").distinct()
+        .select("user_id", F.explode(F.sequence(F.lit(0), F.lit(3))).alias("i"))
+        .select(
+            "user_id",
+            (F.col("user_id") * 4 + F.col("i")).alias("interval_id"),
+            F.timestamp_seconds(F.lit(base) + off * 3600).alias("start"),
+            F.timestamp_seconds(
+                F.lit(base) + (off + F.col("i") + 1) * 3600
+            ).alias("end"),
+        )
+    )
+    j = interval_point_join(ev, iv, on="user_id")
+    return j.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("interval_id").cast("long").alias("interval_id"),
+    )
+
+
+_ORACLE_INTERVAL_JOIN = """
+    WITH users AS (SELECT DISTINCT user_id FROM events),
+    iv AS (
+        SELECT user_id,
+               user_id * 4 + i AS interval_id,
+               TIMESTAMP '2024-01-01 00:00:00'
+                 + ((user_id * 37 + i * 113) % 600) * INTERVAL 1 HOUR AS s,
+               TIMESTAMP '2024-01-01 00:00:00'
+                 + (((user_id * 37 + i * 113) % 600) + i + 1)
+                   * INTERVAL 1 HOUR AS e
+        FROM users, (SELECT unnest(range(0, 4)) AS i))
+    SELECT ev.event_id, ev.user_id, iv.interval_id
+    FROM events ev
+    JOIN iv ON ev.user_id = iv.user_id AND ev.ts >= iv.s AND ev.ts < iv.e
+"""
+
+
 _ORACLE_ASOF_JOIN = """
     WITH r AS (
         SELECT user_id, ts, event_id, value,
@@ -3771,6 +3824,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_lm": _q_bigram_lm,
         "sessionize": _q_sessionize,
         "asof_join": _q_asof_join,
+        "interval_join": _q_interval_join,
         "canonical_docs": _q_canonical_docs,
         "filter_crop": _q_crop,
         "merge_cubes_concat": _q_merge_concat,
@@ -3886,6 +3940,7 @@ def oracle_sql() -> dict[str, str]:
         "bigram_lm": _ORACLE_BIGRAM_LM,
         "sessionize": _ORACLE_SESSIONIZE,
         "asof_join": _ORACLE_ASOF_JOIN,
+        "interval_join": _ORACLE_INTERVAL_JOIN,
         "canonical_docs": _oracle_canonical_docs(),
         "resample_average": _oracle_resample_average(),
         "load_netcdf": _oracle_load_netcdf(),

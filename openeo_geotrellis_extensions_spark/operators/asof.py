@@ -1,6 +1,7 @@
-"""As-of (nearest-preceding) join — the canonical time-series operator
-Spark's join zoo lacks (DataFrames offer equi/range via theta joins only;
-pandas has merge_asof, DuckDB/kdb have ASOF JOIN).
+"""Temporal joins Spark's join zoo lacks: as-of (nearest-preceding) join
+and bucketed interval/range join (DataFrames offer equi joins and
+theta-join range predicates only; pandas has merge_asof, DuckDB/kdb have
+ASOF JOIN, range joins need manual bucketing everywhere).
 
 Spark-first formulation: instead of a per-key loop or an O(L*R)
 inequality join, UNION the two sides tagged left/right, sort each key
@@ -88,3 +89,46 @@ def asof_join(
         *[F.col("_match")[c].alias(f"{c}{suffix}") for c in value_cols],
         F.col("_match_ts").alias(f"{ts_col}{suffix}"),
     )
+
+
+def interval_point_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    on: str | list[str],
+    ts_col: str = "ts",
+    start_col: str = "start",
+    end_col: str = "end",
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Range join: every point row pairs with every interval of the same
+    key(s) whose half-open [start, end) contains its timestamp.
+
+    Scale shape: Spark would plan the raw inequality predicate as a
+    broadcast-nested-loop / theta join (O(P*I) per key). Instead both
+    sides map onto fixed-width time BUCKETS — a point to the one bucket
+    containing it, an interval to the buckets it spans — and candidates
+    come from a plain equi-join on (key, bucket), refined by the exact
+    predicate. A point lives in exactly ONE bucket, so there are no
+    duplicate candidates and no distinct; cost is O(P + I * span/width)
+    with the width tuned to typical interval length. Returns the points'
+    columns + the intervals' non-key columns."""
+    keys = [on] if isinstance(on, str) else list(on)
+    w = int(bucket_seconds)
+    pb = points.withColumn(
+        "_b", F.floor(F.unix_timestamp(F.col(ts_col)) / w).cast("long")
+    )
+    ib = (
+        intervals.withColumn(
+            "_bs",
+            F.sequence(
+                F.floor(F.unix_timestamp(F.col(start_col)) / w).cast("long"),
+                F.floor(F.unix_timestamp(F.col(end_col)) / w).cast("long"),
+            ),
+        )
+        .withColumn("_b", F.explode("_bs"))
+        .drop("_bs")
+    )
+    out = pb.join(ib, keys + ["_b"]).where(
+        (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) < F.col(end_col))
+    )
+    return out.drop("_b")

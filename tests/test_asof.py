@@ -97,3 +97,46 @@ def test_asof_plan_has_no_theta_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
     assert df.count() == 100
+
+
+def test_interval_point_join_matches_bruteforce(spark):
+    """Bucketed range join == the raw inequality join, including half-open
+    boundaries and intervals spanning many buckets; the plan stays an
+    equi-join (no nested-loop/theta join)."""
+    from openeo_geotrellis_extensions_spark.operators.asof import (
+        interval_point_join,
+    )
+
+    points = spark.createDataFrame(
+        [(i, 1 + (i % 3), _ts(i * 13)) for i in range(80)],
+        ["event_id", "user_id", "ts"],
+    )
+    ivs = spark.createDataFrame(
+        [
+            (j, 1 + (j % 4), _ts(j * 29), _ts(j * 29 + 60 + (j % 5) * 90))
+            for j in range(25)
+        ],
+        ["interval_id", "user_id", "start", "end"],
+    )
+    df = interval_point_join(points, ivs, on="user_id", bucket_seconds=1800)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    got = {(r.event_id, r.interval_id) for r in df.collect()}
+    want = {
+        (p.event_id, iv.interval_id)
+        for p in points.collect()
+        for iv in ivs.collect()
+        if p.user_id == iv.user_id and iv.start <= p.ts < iv.end
+    }
+    assert got == want and want  # non-trivial overlap set
+
+    # half-open boundary: ts == start matches, ts == end does not
+    pts = spark.createDataFrame(
+        [(1, 5, _ts(10)), (2, 5, _ts(70))], ["event_id", "user_id", "ts"]
+    )
+    one = spark.createDataFrame(
+        [(9, 5, _ts(10), _ts(70))], ["interval_id", "user_id", "start", "end"]
+    )
+    rows = interval_point_join(pts, one, on="user_id").collect()
+    assert [r.event_id for r in rows] == [1]
