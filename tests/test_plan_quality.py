@@ -123,6 +123,7 @@ def test_no_unjustified_cartesian_in_any_registered_query(spark):
         "ivf_ann",             # crossJoin(broadcast(centroids)), n_lists=16 rows
         "tfidf",               # crossJoin(broadcast(N)), a single scalar row
         "unigram_lm",          # crossJoin(broadcast(totals)), one scalar row
+        "bigram_lm",           # crossJoin(broadcast(totals)), one scalar row
         "zonal_stats_const",   # dense restore: crossJoin of tiny date/band dims
         "zonal_stats_arith",   # dense restore: crossJoin of tiny date/band dims
         "media_zonal",         # dense restore: crossJoin of tiny date/band dims
