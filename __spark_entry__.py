@@ -3541,6 +3541,36 @@ def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus top-k words via per-partition Misra-Gries summaries merged by
+    summation (pipeline/sketch.py): the shuffle carries at most
+    partitions*capacity sketch rows, never the full word-count table. At
+    capacity >= vocabulary the sketch is provably EXACT (no decrements
+    fire), which is what lets the plain SQL top-k oracle pin it; the
+    small-capacity error bound est in [true - N/cap, true] is pinned by
+    property tests."""
+    from openeo_geotrellis_extensions_spark.pipeline.sketch import (
+        word_heavy_hitters,
+    )
+
+    docs = spark.read.parquet(_DOCS.format(sf=sf_dir))
+    return word_heavy_hitters(docs, k=25, capacity=4096)
+
+
+_ORACLE_HEAVY_HITTERS = r"""
+    WITH wrds AS (
+        SELECT unnest(string_split(
+            regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS item
+        FROM documents),
+    cnt AS (SELECT item, COUNT(*) AS est FROM wrds WHERE item != '' GROUP BY 1)
+    SELECT item, est,
+           CAST(ROW_NUMBER() OVER (ORDER BY est DESC, item ASC) AS INT) AS rank
+    FROM cnt
+    ORDER BY est DESC, item ASC
+    LIMIT 25
+"""
+
+
 def _q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketed range join (operators/asof.py:interval_point_join): events
     against a deterministic per-user interval table (4 arithmetic windows
@@ -3825,6 +3855,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": _q_sessionize,
         "asof_join": _q_asof_join,
         "interval_join": _q_interval_join,
+        "heavy_hitters": _q_heavy_hitters,
         "canonical_docs": _q_canonical_docs,
         "filter_crop": _q_crop,
         "merge_cubes_concat": _q_merge_concat,
@@ -3941,6 +3972,7 @@ def oracle_sql() -> dict[str, str]:
         "sessionize": _ORACLE_SESSIONIZE,
         "asof_join": _ORACLE_ASOF_JOIN,
         "interval_join": _ORACLE_INTERVAL_JOIN,
+        "heavy_hitters": _ORACLE_HEAVY_HITTERS,
         "canonical_docs": _oracle_canonical_docs(),
         "resample_average": _oracle_resample_average(),
         "load_netcdf": _oracle_load_netcdf(),

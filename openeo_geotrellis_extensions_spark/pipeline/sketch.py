@@ -1,0 +1,108 @@
+"""Mergeable frequency sketches for corpus statistics.
+
+Misra-Gries heavy hitters: each partition maintains a bounded summary of
+``capacity`` counters (the classic streaming algorithm — decrement all
+counters when a new item finds no slot); per-partition summaries then
+merge by plain summation. The deterministic guarantee, independent of data
+order or partitioning:
+
+    true_count - N / capacity  <=  estimate  <=  true_count
+
+and every item with frequency > N / capacity is PRESENT in the merged
+summary. Memory is O(partitions * capacity) rows into the final
+aggregation — never O(vocabulary) on any single node — which is what makes
+top-k over a 100 TB corpus with an unbounded vocabulary tractable: the
+shuffle carries sketch rows, not the full word-count table.
+
+With ``capacity`` >= the partition's distinct-item count, no decrements
+ever fire and the summary degenerates to EXACT counts — the configuration
+the driver oracle pins (exact SQL top-k); the error-bound behavior is
+pinned by property tests at small capacity.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _mg_update(counters: dict, item: str, inc: int, capacity: int) -> None:
+    """One Misra-Gries update (textbook): bump an existing counter, claim a
+    free slot, else decrement ALL counters by the new item's weight (and
+    drop the ones that hit zero)."""
+    if item in counters:
+        counters[item] += inc
+        return
+    if len(counters) < capacity:
+        counters[item] = inc
+        return
+    dec = min(inc, min(counters.values()))
+    dead = []
+    for k in counters:
+        counters[k] -= dec
+        if counters[k] <= 0:
+            dead.append(k)
+    for k in dead:
+        del counters[k]
+    if inc > dec:
+        counters[item] = inc - dec
+
+
+def mg_partition_sketches(
+    df: DataFrame, item_col: str, capacity: int
+) -> DataFrame:
+    """One Misra-Gries summary per partition -> (item, est) rows, at most
+    ``capacity`` per partition (Arrow-batched; the dict lives across the
+    partition's batches)."""
+
+    def sketch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for item in pdf[item_col]:
+                _mg_update(counters, item, 1, capacity)
+        yield pd.DataFrame(
+            {"item": list(counters.keys()), "est": list(counters.values())}
+        )
+
+    return df.select(F.col(item_col).cast("string").alias(item_col)).mapInPandas(
+        sketch, schema="item string, est long"
+    )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    item_col: str,
+    k: int = 20,
+    capacity: int = 4096,
+) -> DataFrame:
+    """Approximate top-k items by frequency: per-partition Misra-Gries
+    summaries, merged by summation (summing per-partition estimates keeps
+    the MG bound: each partition under-counts by at most N_p/capacity, so
+    the merged estimate under-counts by at most N/capacity and never
+    over-counts). -> (item, est, rank), rank by (est desc, item asc)."""
+    partials = mg_partition_sketches(df, item_col, capacity)
+    merged = partials.groupBy("item").agg(F.sum("est").alias("est"))
+    w = Window.orderBy(F.desc("est"), F.asc("item"))
+    return (
+        merged.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("item", "est", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def word_heavy_hitters(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 20,
+    capacity: int = 4096,
+) -> DataFrame:
+    """Corpus-level top-k WORDS via the MG sketch (normalization matches
+    the rest of the text pipeline: lower, trim, whitespace split)."""
+    t = F.regexp_replace(F.lower(F.trim(F.col(text_col))), "\\s+", " ")
+    words = df.select(F.explode(F.split(t, " ")).alias("w")).where(
+        F.col("w") != ""
+    )
+    return heavy_hitters(words, "w", k=k, capacity=capacity)
