@@ -352,6 +352,59 @@ def simhash_ab() -> dict:
         spark.stop()
 
 
+def rangejoin_ab() -> dict:
+    """A/B: bucketed interval join (operators/asof.py:interval_point_join)
+    vs the raw inequality join Spark plans as a BroadcastNestedLoopJoin.
+    KEYLESS global intervals make the comparison honest — with an equality
+    key Spark would equi-join and post-filter, hiding the theta-join cost.
+    points x intervals = |events| * 2000 predicate evaluations for the raw
+    plan; the bucketed plan touches each point once and each interval
+    span/width times. Same result set asserted."""
+    from openeo_geotrellis_extensions_spark.operators.asof import (
+        interval_point_join,
+    )
+
+    spark = build_spark(CPUS)
+    try:
+        ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+            "event_id", "ts"
+        )
+        base = 1704067200  # 2024-01-01T00:00:00Z
+        iv = spark.range(2000).select(
+            F.col("id").alias("interval_id"),
+            F.timestamp_seconds(
+                F.lit(base) + (F.col("id") * 337 % 700) * 3600
+            ).alias("start"),
+            F.timestamp_seconds(
+                F.lit(base)
+                + ((F.col("id") * 337 % 700) + F.col("id") % 5 + 1) * 3600
+            ).alias("end"),
+        )
+        report = {}
+        counts = {}
+        for name in ("theta", "bucketed", "theta2", "bucketed2"):
+            t0 = time.time()
+            if name.startswith("theta"):
+                n = ev.join(
+                    iv,
+                    (F.col("ts") >= F.col("start")) & (F.col("ts") < F.col("end")),
+                ).count()
+            else:
+                n = interval_point_join(ev, iv, on=[]).count()
+            counts[name] = n
+            report[name] = round(time.time() - t0, 3)
+        assert counts["theta"] == counts["bucketed"], counts
+        out = {
+            "theta_sec": min(report["theta"], report["theta2"]),
+            "bucketed_sec": min(report["bucketed"], report["bucketed2"]),
+            "rows": counts["bucketed"],
+        }
+        out["speedup"] = round(out["theta_sec"] / out["bucketed_sec"], 2)
+        return out
+    finally:
+        spark.stop()
+
+
 def ckpt_overhead_ab() -> dict:
     """A/B: what does checkpoint-resumability COST? The identical 4M-row
     bucketed dataset written (a) bare: repartition(bucket) +
@@ -417,6 +470,9 @@ def main() -> None:
         return
     if "--simhash-ab" in sys.argv:
         print(json.dumps({"simhash_ab": simhash_ab()}))
+        return
+    if "--rangejoin-ab" in sys.argv:
+        print(json.dumps({"rangejoin_ab": rangejoin_ab()}))
         return
     if "--zorder-ab" in sys.argv:
         print(json.dumps({"zorder_ab": zorder_ab()}))
