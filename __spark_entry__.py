@@ -361,6 +361,80 @@ def _oracle_spatial_join() -> str:
     """
 
 
+def _q_polygon_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polygon x polygon OVERLAP join with exact intersection areas
+    (operators/spatial_join.py:polygon_overlap_join): every doc geometry
+    pairs with every zone rectangle it overlaps, area via
+    Sutherland-Hodgman clipping in Arrow batches; candidates from the bbox-
+    cover-cell equi-join (bbox_cells_col, pure Columns) — the
+    area-weighted splitting a containment join cannot express. Point docs
+    carry zero area and drop out; the oracle computes the rect-rect
+    closed-form intersection."""
+    from openeo_geotrellis_extensions_spark.operators.spatial_join import (
+        polygon_overlap_join,
+    )
+
+    docs = synth_docs(spark, _n_docs(spark, sf_dir))
+    geoms = extract_geometries(docs).select(
+        "doc_id", "span_idx", F.col("geojson").alias("text"),
+        "xmin", "ymin", "xmax", "ymax",
+    )
+    feats = _features_df(spark, RECT_FEATURES)
+    j = polygon_overlap_join(geoms, feats, pair_cols=["doc_id", "span_idx"])
+    return j.select(
+        "doc_id",
+        F.col("span_idx").cast("int").alias("span_idx"),
+        F.col("feature_index").cast("int").alias("feature_index"),
+        F.round("overlap_area", 6).alias("overlap_area"),
+    )
+
+
+def _oracle_polygon_overlap() -> str:
+    """Rect-rect closed form: doc rects reconstructed from the integer-e4
+    corner arithmetic ((lon_e4 - half_e4) / 10000.0 is the same double the
+    engine parses back from the '%.4f' span text), features inline; area =
+    clamped overlap width x height, pairs kept when both positive."""
+    from openeo_geotrellis_extensions_spark.sources.interleaved import (
+        _HALF_E4,
+        _LAT_E4,
+        _LON_E4,
+    )
+
+    lon_e4 = _LON_E4.format(id="id")
+    lat_e4 = _LAT_E4.format(id="id")
+    half_e4 = _HALF_E4.format(id="id")
+    feats = " UNION ALL ".join(
+        f"SELECT {fi} AS feature_index, CAST({x0} AS DOUBLE) AS fx0, "
+        f"CAST({y0} AS DOUBLE) AS fy0, CAST({x1} AS DOUBLE) AS fx1, "
+        f"CAST({y1} AS DOUBLE) AS fy1"
+        for fi, x0, y0, x1, y1 in RECT_FEATURES
+    )
+    return f"""
+        WITH ids AS (SELECT doc_id AS id FROM documents),
+        g AS (
+            SELECT id, CAST(j AS INT) AS span_idx,
+                   CAST(({lon_e4}) - ({half_e4}) AS DOUBLE) / 10000.0 AS x0,
+                   CAST(({lon_e4}) + ({half_e4}) AS DOUBLE) / 10000.0 AS x1,
+                   CAST(({lat_e4}) - ({half_e4}) AS DOUBLE) / 10000.0 AS y0,
+                   CAST(({lat_e4}) + ({half_e4}) AS DOUBLE) / 10000.0 AS y1
+            FROM ids, generate_series(0, 4) t(j)
+            WHERE j < 2 + (id % 4)
+              AND (id + j) % 3 < 2
+              AND (j <= 1 OR (id + j) % 2 = 0)
+              AND id % 3 != 0
+        ),
+        feats AS ({feats}),
+        ov AS (
+            SELECT g.id, g.span_idx, feature_index,
+                   greatest(0.0, least(g.x1, fx1) - greatest(g.x0, fx0)) AS ox,
+                   greatest(0.0, least(g.y1, fy1) - greatest(g.y0, fy0)) AS oy
+            FROM g, feats)
+        SELECT printf('doc_%08d', id) AS doc_id, span_idx, feature_index,
+               ROUND(ox * oy, 6) AS overlap_area
+        FROM ov WHERE ox > 0 AND oy > 0
+    """
+
+
 _ZONAL_SELECT = [
     "date", "feature_index", "band", "count", "sum", "min", "max", "mean",
 ]
@@ -3856,6 +3930,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": _q_asof_join,
         "interval_join": _q_interval_join,
         "heavy_hitters": _q_heavy_hitters,
+        "polygon_overlap": _q_polygon_overlap,
         "canonical_docs": _q_canonical_docs,
         "filter_crop": _q_crop,
         "merge_cubes_concat": _q_merge_concat,
@@ -3973,6 +4048,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_join": _ORACLE_ASOF_JOIN,
         "interval_join": _ORACLE_INTERVAL_JOIN,
         "heavy_hitters": _ORACLE_HEAVY_HITTERS,
+        "polygon_overlap": _oracle_polygon_overlap(),
         "canonical_docs": _oracle_canonical_docs(),
         "resample_average": _oracle_resample_average(),
         "load_netcdf": _oracle_load_netcdf(),

@@ -301,6 +301,64 @@ def distance_to_geometry(geom: Geometry, xs: np.ndarray, ys: np.ndarray) -> np.n
     return dist
 
 
+def clip_ring_to_rect(ring: np.ndarray, e: Extent) -> np.ndarray:
+    """Sutherland–Hodgman: clip one ring against the axis-aligned rect
+    ``e`` (the rect is the CONVEX clip window, so the subject ring may be
+    arbitrary — concave, any orientation). Returns the clipped ring
+    ((M, 2), possibly empty). The classic four half-plane passes; vertices
+    on the boundary count as inside, so shared edges clip exactly."""
+    pts = np.asarray(ring, dtype=np.float64)
+    if len(pts) and (pts[0] == pts[-1]).all():
+        pts = pts[:-1]  # open form; edges are cyclic below
+    # (axis, bound, keep_if_greater)
+    planes = (
+        (0, e.xmin, True),
+        (0, e.xmax, False),
+        (1, e.ymin, True),
+        (1, e.ymax, False),
+    )
+    for axis, bound, greater in planes:
+        if len(pts) == 0:
+            break
+        out: list = []
+        n = len(pts)
+        for i in range(n):
+            p, q = pts[i], pts[(i + 1) % n]
+            pin = p[axis] >= bound if greater else p[axis] <= bound
+            qin = q[axis] >= bound if greater else q[axis] <= bound
+            if pin:
+                out.append(p)
+            if pin != qin:  # edge crosses the boundary: emit intersection
+                t = (bound - p[axis]) / (q[axis] - p[axis])
+                out.append(p + t * (q - p))
+        pts = np.asarray(out, dtype=np.float64).reshape(-1, 2)
+    return pts
+
+
+def _ring_area(ring: np.ndarray) -> float:
+    """|shoelace| of a (possibly open) ring."""
+    if len(ring) < 3:
+        return 0.0
+    x, y = ring[:, 0], ring[:, 1]
+    return 0.5 * abs(
+        float(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1)))
+    )
+
+
+def clipped_area(geom: Geometry, e: Extent) -> float:
+    """Area of geometry ∩ rect: per polygon, the clipped exterior ring's
+    area minus its clipped holes' (GeoJSON ring convention). Points have
+    zero area."""
+    if geom.kind in ("Point", "MultiPoint"):
+        return 0.0
+    total = 0.0
+    for poly in geom.polygons:
+        for i, ring in enumerate(poly):
+            a = _ring_area(clip_ring_to_rect(ring, e))
+            total += a if i == 0 else -a
+    return max(total, 0.0)
+
+
 def reproject_geometry(
     geom: Geometry, src_crs: str, dst_crs: str, densify: int = 0
 ) -> Geometry:

@@ -140,3 +140,95 @@ def test_spatial_join_non_broadcast_path_matches(spark):
     assert rows_a == rows_b and rows_a
     plan = b._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" not in plan or "SortMergeJoin" in plan
+
+
+def test_clip_ring_area_general_polygons():
+    """Sutherland-Hodgman clipped areas: rect∩rect closed form, a concave
+    L-shape, a polygon with a hole, containment both ways, disjoint."""
+    import numpy as np
+
+    from openeo_geotrellis_extensions_spark.core.geom import (
+        Geometry,
+        clipped_area,
+        rect_geometry,
+    )
+    from openeo_geotrellis_extensions_spark.core.grid import Extent
+
+    # rect ∩ rect
+    r = rect_geometry(Extent(0.0, 0.0, 4.0, 4.0))
+    assert abs(clipped_area(r, Extent(2.0, 1.0, 6.0, 3.0)) - 4.0) < 1e-12
+    # clip window contains the geometry
+    assert abs(clipped_area(r, Extent(-1.0, -1.0, 9.0, 9.0)) - 16.0) < 1e-12
+    # disjoint
+    assert clipped_area(r, Extent(10.0, 10.0, 12.0, 12.0)) == 0.0
+    # concave L-shape: [0,4]x[0,4] minus [2,4]x[2,4] quadrant (area 12)
+    L = Geometry("Polygon", polygons=[[np.array(
+        [[0, 0], [4, 0], [4, 2], [2, 2], [2, 4], [0, 4]], dtype=float)]])
+    assert abs(clipped_area(L, Extent(0.0, 0.0, 4.0, 4.0)) - 12.0) < 1e-12
+    # clipping the concave notch region: only [1,2]x[1,2] of it is filled
+    assert abs(clipped_area(L, Extent(1.0, 1.0, 3.0, 3.0)) - 3.0) < 1e-12
+    # hole: outer [0,4]^2 with hole [1,3]^2 -> area 12; clip right half
+    H = Geometry("Polygon", polygons=[[
+        np.array([[0, 0], [4, 0], [4, 4], [0, 4]], dtype=float),
+        np.array([[1, 1], [3, 1], [3, 3], [1, 3]], dtype=float),
+    ]])
+    assert abs(clipped_area(H, Extent(0.0, 0.0, 4.0, 4.0)) - 12.0) < 1e-12
+    assert abs(clipped_area(H, Extent(2.0, 0.0, 4.0, 4.0)) - 6.0) < 1e-12
+
+
+def test_polygon_overlap_join_matches_bruteforce(spark):
+    """Distributed overlap join == per-pair clipped_area brute force on the
+    doc-geometry fixture; non-rect clip features raise."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as m
+    from openeo_geotrellis_extensions_spark.core.geom import (
+        clipped_area,
+        parse_geometry,
+    )
+    from openeo_geotrellis_extensions_spark.core.grid import Extent
+    from openeo_geotrellis_extensions_spark.operators.spatial_join import (
+        polygon_overlap_join,
+    )
+    from openeo_geotrellis_extensions_spark.sources.interleaved import (
+        extract_geometries,
+        synth_docs,
+    )
+
+    docs = synth_docs(spark, 120)
+    geoms = extract_geometries(docs).select(
+        "doc_id", "span_idx", F.col("geojson").alias("text"),
+        "xmin", "ymin", "xmax", "ymax",
+    )
+    feats = m._features_df(spark, m.RECT_FEATURES)
+    got = {
+        (r.doc_id, r.span_idx, r.feature_index): r.overlap_area
+        for r in polygon_overlap_join(
+            geoms, feats, pair_cols=["doc_id", "span_idx"]
+        ).collect()
+    }
+    rects = {fi: Extent(x0, y0, x1, y1) for fi, x0, y0, x1, y1 in m.RECT_FEATURES}
+    want = {}
+    for g in geoms.collect():
+        geom = parse_geometry(g.text)
+        for fi, e in rects.items():
+            a = clipped_area(geom, e)
+            if a > 0:
+                want[(g.doc_id, g.span_idx, fi)] = a
+    assert set(got) == set(want)
+    for k, v in want.items():
+        assert abs(got[k] - v) < 1e-12, k
+
+    # L-shape placed over the hot-doc region so candidate pairs exist and
+    # the refine stage actually runs the rect check
+    bad = spark.createDataFrame(
+        [(0, '{"type": "Polygon", "coordinates": '
+             '[[[4.0, 50.6], [4.8, 50.6], [4.8, 51.0], [4.4, 51.0], '
+             '[4.4, 51.5], [4.0, 51.5], [4.0, 50.6]]]}')],
+        ["feature_index", "geojson"],
+    )
+    with _pytest.raises(Exception, match="axis-aligned rect"):
+        polygon_overlap_join(
+            geoms, bad, pair_cols=["doc_id", "span_idx"]
+        ).collect()
