@@ -526,6 +526,91 @@ _ARITH_VALUE = (
 )
 
 
+def _q_zonal_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AREA-WEIGHTED aggregate_spatial (operators/zonal.py:
+    aggregate_spatial_weighted): fractional-pixel zone weighting — a pixel
+    cut by the zone edge counts by its overlap fraction instead of the
+    all-or-nothing center rule. Integer micro-weight quantization makes
+    every partial sum exact, so the SQL oracle reproduces wcount/wsum/
+    wmean bit for bit."""
+    from openeo_geotrellis_extensions_spark.operators.zonal import (
+        aggregate_spatial_weighted,
+    )
+
+    cube = arithmetic_cube(spark, ZONAL_LAYOUT, n_bands=2)
+    feats = _features_df(spark, ZONAL_RECTS)
+    out = aggregate_spatial_weighted(cube, feats)
+    return out.select(
+        F.date_format("time", "yyyy-MM-dd").alias("date"),
+        F.col("feature_index").cast("int").alias("feature_index"),
+        F.col("band").cast("int").alias("band"),
+        F.round("wcount", 6).alias("wcount"),
+        F.round("wsum", 6).alias("wsum"),
+        F.round("wmean", 6).alias("wmean"),
+    )
+
+
+def _oracle_zonal_weighted() -> str:
+    """Pixel rects regenerated with the engine's exact arithmetic (all
+    bounds are multiples of 2^-4, hence exact doubles); micro-weights via
+    the same floor(w * 1e6 + 0.5); sums are exact integers so the outputs
+    are identical ratios."""
+    dates = " UNION ALL ".join(
+        f"SELECT {i} AS di, '{d}' AS date" for i, d in enumerate(DATES)
+    )
+    feats = " UNION ALL ".join(
+        f"SELECT {fi} AS feature_index, CAST({x0} AS DOUBLE) AS fx0, "
+        f"CAST({y0} AS DOUBLE) AS fy0, CAST({x1} AS DOUBLE) AS fx1, "
+        f"CAST({y1} AS DOUBLE) AS fy1"
+        for fi, x0, y0, x1, y1 in ZONAL_RECTS
+    )
+    return f"""
+        WITH dates AS ({dates}),
+        feats AS ({feats}),
+        bands AS (SELECT 0 AS band UNION ALL SELECT 1),
+        tiles AS (SELECT c.c AS c, r.r AS r
+                  FROM generate_series(0, 3) c(c), generate_series(0, 3) r(r)),
+        px AS (SELECT CAST(px AS INT) AS px FROM generate_series(0, 15) t(px)),
+        py AS (SELECT CAST(py AS INT) AS py FROM generate_series(0, 15) t(py)),
+        pixels AS (
+            SELECT d.di, d.date, b.band, t.c, t.r, px.px, py.py,
+                   0.0 + t.c * 1.0 + px.px * 0.0625 AS px0,
+                   0.0 + t.c * 1.0 + (px.px + 1) * 0.0625 AS px1,
+                   4.0 - t.r * 1.0 - (py.py + 1) * 0.0625 AS pyb,
+                   4.0 - t.r * 1.0 - py.py * 0.0625 AS pyt,
+                   {_ARITH_VALUE} AS v
+            FROM dates d, bands b, tiles t, px, py
+        ),
+        wpix AS (
+            SELECT p.date, f.feature_index, p.band, p.v,
+                   CAST(floor(
+                       greatest(0.0, least(p.px1, fx1) - greatest(p.px0, fx0))
+                       * greatest(0.0, least(p.pyt, fy1) - greatest(p.pyb, fy0))
+                       / 0.00390625 * 1000000.0 + 0.5) AS BIGINT) AS wq
+            FROM pixels p, feats f
+        ),
+        stats AS (
+            SELECT date, feature_index, band,
+                   SUM(CASE WHEN v IS NOT NULL THEN wq ELSE 0 END) AS qc,
+                   SUM(CASE WHEN v IS NOT NULL
+                            THEN CAST(wq * v AS BIGINT) ELSE 0 END) AS qs
+            FROM wpix WHERE wq > 0
+            GROUP BY 1, 2, 3
+        ),
+        nonzero AS (SELECT * FROM stats WHERE qc > 0),
+        dense AS (SELECT d.date, f.feature_index, b.band
+                  FROM dates d, feats f, bands b)
+        SELECT dn.date, dn.feature_index, dn.band,
+               ROUND(COALESCE(s.qc, 0) / 1000000.0, 6) AS wcount,
+               ROUND(s.qs / 1000000.0, 6) AS wsum,
+               ROUND(CAST(s.qs AS DOUBLE) / s.qc, 6) AS wmean
+        FROM dense dn
+        LEFT JOIN nonzero s
+          ON s.date = dn.date AND s.feature_index = dn.feature_index
+         AND s.band = dn.band
+    """
+
+
 def _q_agg_reducers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's aggregate-reducer inventory
     (SparkAggregateScriptBuilder.scala:126-150) exercised relationally on
@@ -3931,6 +4016,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_join": _q_interval_join,
         "heavy_hitters": _q_heavy_hitters,
         "polygon_overlap": _q_polygon_overlap,
+        "zonal_weighted": _q_zonal_weighted,
         "canonical_docs": _q_canonical_docs,
         "filter_crop": _q_crop,
         "merge_cubes_concat": _q_merge_concat,
@@ -4049,6 +4135,7 @@ def oracle_sql() -> dict[str, str]:
         "interval_join": _ORACLE_INTERVAL_JOIN,
         "heavy_hitters": _ORACLE_HEAVY_HITTERS,
         "polygon_overlap": _oracle_polygon_overlap(),
+        "zonal_weighted": _oracle_zonal_weighted(),
         "canonical_docs": _oracle_canonical_docs(),
         "resample_average": _oracle_resample_average(),
         "load_netcdf": _oracle_load_netcdf(),

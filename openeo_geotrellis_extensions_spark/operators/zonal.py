@@ -323,3 +323,180 @@ def aggregate_spatial(
         for c in ("sum", "min", "max", "mean", "variance", "sd"):
             out = out.withColumn(c, F.round(F.col(c), round_to))
     return out
+
+
+_WPARTIAL_SCHEMA = StructType(
+    [
+        StructField("time", TimestampType()),
+        StructField("feature_index", IntegerType()),
+        StructField("band", IntegerType()),
+        StructField("qcnt", LongType()),
+        StructField("qsum", LongType()),
+    ]
+)
+
+
+def aggregate_spatial_weighted(
+    cube: DataCube,
+    features: DataFrame,
+    round_to: int | None = None,
+) -> DataFrame:
+    """AREA-WEIGHTED zonal stats — openEO's fractional-pixel weighting that
+    the pixel-center rule of :func:`aggregate_spatial` cannot express: each
+    valid pixel contributes w = area(pixel ∩ feature) / pixel_area, so a
+    polygon edge crossing a pixel counts it fractionally instead of
+    all-or-nothing. -> dense (time, feature_index, band, wcount, wsum,
+    wmean).
+
+    Weights quantize to integer MICRO-WEIGHTS (floor(w * 1e6 + 0.5)) before
+    any summation, so every partial sum is an exact integer — identical
+    under any aggregation order, partitioning, or engine (the order-proof
+    trick shared with unigram_lm); wmean is a ratio of exact integers.
+
+    Fast paths per (tile, feature): interior tiles take the constant full
+    weight; boundary tiles against RECTANGLE features compute the exact
+    per-axis overlap separably (outer product — O(h + w) work per tile);
+    general polygons fall back to an exact Sutherland-Hodgman clip per
+    pixel of the boundary tile (O(h * w) clips — still tile-local)."""
+    layout = cube.meta.layout
+    ct_name = cube.meta.cell_type
+    shape = cube.meta.tile_shape
+    n_bands = cube.meta.n_bands
+
+    fkeys = F.broadcast(feature_tile_keys(features, layout))
+    joined = cube.df.join(fkeys, ["col", "row"], "inner").join(
+        F.broadcast(features), "feature_index", "inner"
+    )
+
+    from ..core.geom import clipped_area
+    from ..core.grid import Extent as _Extent
+    from ..core.tiles import decode_tiles_batch_float
+
+    def partials(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        geom_cache: dict[int, object] = {}
+        rect_cache: dict[int, object] = {}
+        wq_cache: dict[tuple, np.ndarray] = {}
+        h, w = shape
+        cw, ch = layout.cell_width, layout.cell_height
+        full_wq = np.full(shape, 1_000_000, dtype=np.int64)
+
+        def weight_grid(fi: int, c: int, r: int) -> np.ndarray:
+            key = (fi, c, r)
+            wq = wq_cache.get(key)
+            if wq is not None:
+                return wq
+            g = geom_cache.get(fi)
+            te = layout.extent_for_key(c, r)
+            bb = rect_cache.get(fi)
+            if bb is not None:  # rect feature: separable exact overlap
+                px0 = te.xmin + np.arange(w) * cw
+                px1 = te.xmin + (np.arange(w) + 1) * cw
+                pyt = te.ymax - np.arange(h) * ch
+                pyb = te.ymax - (np.arange(h) + 1) * ch
+                ox = np.clip(
+                    np.minimum(px1, bb.xmax) - np.maximum(px0, bb.xmin), 0.0, None
+                )
+                oy = np.clip(
+                    np.minimum(pyt, bb.ymax) - np.maximum(pyb, bb.ymin), 0.0, None
+                )
+                wq = np.floor(
+                    np.outer(oy, ox) / (cw * ch) * 1_000_000.0 + 0.5
+                ).astype(np.int64)
+            else:  # general polygon: exact per-pixel clip
+                wq = np.zeros(shape, dtype=np.int64)
+                for iy in range(h):
+                    for ix in range(w):
+                        e = _Extent(
+                            te.xmin + ix * cw,
+                            te.ymax - (iy + 1) * ch,
+                            te.xmin + (ix + 1) * cw,
+                            te.ymax - iy * ch,
+                        )
+                        a = clipped_area(g, e)
+                        if a > 0.0:
+                            wq[iy, ix] = int(
+                                np.floor(a / (cw * ch) * 1_000_000.0 + 0.5)
+                            )
+            wq_cache[key] = wq
+            return wq
+
+        for pdf in it:
+            nrow = len(pdf)
+            if nrow == 0:
+                continue
+            cube_vals = decode_tiles_batch_float(
+                pdf["bands"].tolist(), ct_name, shape, n_bands
+            )
+            contained = pdf["contained"].to_numpy(dtype=bool)
+            cols_a = pdf["col"].to_numpy()
+            rows_a = pdf["row"].to_numpy()
+            fis_a = pdf["feature_index"].to_numpy()
+            out_rows = {k: [] for k in ("time", "fi", "band", "qcnt", "qsum")}
+            for i in range(nrow):
+                fi = int(fis_a[i])
+                if fi not in geom_cache:
+                    g = parse_geometry(pdf["geojson"].iloc[i])
+                    geom_cache[fi] = g
+                    bb = g.bbox()
+                    if (
+                        g.kind not in ("Point", "MultiPoint")
+                        and abs(clipped_area(g, bb) - bb.width * bb.height)
+                        <= 1e-9 * max(1.0, bb.width * bb.height)
+                    ):
+                        rect_cache[fi] = bb
+                wq = (
+                    full_wq
+                    if contained[i]
+                    else weight_grid(fi, int(cols_a[i]), int(rows_a[i]))
+                )
+                vals = cube_vals[i]  # (nb, h, w)
+                valid = ~np.isnan(vals)
+                qcnt = (wq[None, :, :] * valid).sum(axis=(1, 2))
+                qsum = (
+                    (wq[None, :, :] * np.where(valid, vals, 0.0))
+                    .sum(axis=(1, 2))
+                    .astype(np.int64)
+                )
+                for b in range(n_bands):
+                    if qcnt[b] > 0:
+                        out_rows["time"].append(pdf["time"].iloc[i])
+                        out_rows["fi"].append(fi)
+                        out_rows["band"].append(b)
+                        out_rows["qcnt"].append(int(qcnt[b]))
+                        out_rows["qsum"].append(int(qsum[b]))
+            yield pd.DataFrame(
+                {
+                    "time": out_rows["time"],
+                    "feature_index": np.array(out_rows["fi"], dtype=np.int32),
+                    "band": np.array(out_rows["band"], dtype=np.int32),
+                    "qcnt": np.array(out_rows["qcnt"], dtype=np.int64),
+                    "qsum": np.array(out_rows["qsum"], dtype=np.int64),
+                }
+            )
+
+    part = joined.mapInPandas(partials, schema=_WPARTIAL_SCHEMA)
+    agg = part.groupBy("time", "feature_index", "band").agg(
+        F.sum("qcnt").alias("_qc"), F.sum("qsum").alias("_qs")
+    )
+    stats = agg.select(
+        "time",
+        "feature_index",
+        "band",
+        (F.col("_qc") / F.lit(1_000_000.0)).alias("wcount"),
+        (F.col("_qs") / F.lit(1_000_000.0)).alias("wsum"),
+        F.when(F.col("_qc") > 0, F.col("_qs") / F.col("_qc")).alias("wmean"),
+    )
+    dates = cube.df.select("time").distinct()
+    bands_df = dates.sparkSession.range(n_bands).select(
+        F.col("id").cast("int").alias("band")
+    )
+    full = dates.crossJoin(F.broadcast(features.select("feature_index"))).crossJoin(
+        F.broadcast(bands_df)
+    )
+    out = full.join(stats, ["time", "feature_index", "band"], "left").withColumn(
+        "wcount", F.coalesce(F.col("wcount"), F.lit(0.0))
+    )
+    if round_to is not None:
+        for c in ("wcount", "wsum", "wmean"):
+            out = out.withColumn(c, F.round(F.col(c), round_to))
+    return out

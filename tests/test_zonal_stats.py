@@ -123,3 +123,82 @@ def test_zonal_plan_has_partial_agg_and_broadcast(spark, features_df):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan  # feature keys broadcast, no shuffle join
     assert "HashAggregate" in plan  # partial+final agg native
+
+
+def test_weighted_zonal_constant_cube_exact_areas(spark):
+    """Area-weighted zonal on a constant cube: wmean equals the constant
+    everywhere, and wcount * pixel_area equals the EXACT zone∩layout area
+    (the defining property fractional weighting buys over the center
+    rule) — for a rect zone and for a concave L-shape (the per-pixel
+    Sutherland-Hodgman path)."""
+    from openeo_geotrellis_extensions_spark.operators.zonal import (
+        aggregate_spatial_weighted,
+    )
+
+    lshape = json.dumps(
+        {
+            "type": "Polygon",
+            "coordinates": [[
+                [0.53, 0.51], [2.47, 0.51], [2.47, 1.48],
+                [1.52, 1.48], [1.52, 2.46], [0.53, 2.46], [0.53, 0.51],
+            ]],
+        }
+    )
+    feats = spark.createDataFrame(
+        [(0, P_INSIDE), (1, lshape)], ["feature_index", "geojson"]
+    )
+    cube = constant_cube(spark, LAYOUT, band_values=[7.0])
+    rows = _rows_by_key(aggregate_spatial_weighted(cube, feats).collect())
+    px_area = (4.0 / 64) ** 2  # 0.0625^2
+    # rect zone: exact area 1.0 x 1.0
+    r0 = rows[(DATES[0], 0, 0)]
+    assert r0.wmean == pytest.approx(7.0, abs=1e-9)
+    assert r0.wcount * px_area == pytest.approx(1.0, abs=2e-6)
+    # L-shape: area = 1.94*1.95 - 0.95*0.98 (outer minus notch)
+    want = (2.47 - 0.53) * (2.46 - 0.51) - (2.47 - 1.52) * (2.46 - 1.48)
+    r1 = rows[(DATES[0], 1, 0)]
+    assert r1.wmean == pytest.approx(7.0, abs=1e-9)
+    assert r1.wcount * px_area == pytest.approx(want, abs=2e-6)
+    # P_INSIDE lies exactly on pixel boundaries -> weighted == center count;
+    # the L-shape has fractional edge pixels, so the counts MUST differ
+    center = _rows_by_key(
+        aggregate_spatial(
+            cube, spark.createDataFrame([(1, lshape)], ["feature_index", "geojson"])
+        ).collect()
+    )[(DATES[0], 1, 0)]
+    assert abs(r1.wcount - center["count"]) > 1e-6
+    assert r1.wcount == pytest.approx(want / px_area, abs=2e-3)
+
+
+def test_weighted_zonal_matches_per_pixel_bruteforce(spark):
+    """wsum/wcount against a numpy brute force that clips every pixel of
+    the value grid independently (arith cube, nodata respected)."""
+    from openeo_geotrellis_extensions_spark.core.geom import clipped_area
+    from openeo_geotrellis_extensions_spark.operators.zonal import (
+        aggregate_spatial_weighted,
+    )
+
+    feats = spark.createDataFrame([(1, P_SPANNING)], ["feature_index", "geojson"])
+    cube = arithmetic_cube(spark, LAYOUT, n_bands=1)
+    got = _rows_by_key(aggregate_spatial_weighted(cube, feats).collect())
+    g = parse_geometry(P_SPANNING)
+    cw = 4.0 / 64
+    for di, date in enumerate(DATES[:1]):
+        qc = qs = 0
+        for gy in range(64):
+            for gx in range(64):
+                e = Extent(gx * cw, 4.0 - (gy + 1) * cw, (gx + 1) * cw, 4.0 - gy * cw)
+                a = clipped_area(g, e)
+                if a <= 0:
+                    continue
+                wq = int(np.floor(a / (cw * cw) * 1e6 + 0.5))
+                c, r, px, py = gx // 16, gy // 16, gx % 16, gy % 16
+                if (px + py + c + r + di) % 13 == 0:
+                    continue  # nodata
+                v = (px * 3 + py * 5 + c * 13 + r * 7 + di * 11 + 0) % 97
+                qc += wq
+                qs += wq * v
+        row = got[(date, 1, 0)]
+        assert row.wcount == pytest.approx(qc / 1e6, abs=1e-9)
+        assert row.wsum == pytest.approx(qs / 1e6, abs=1e-9)
+        assert row.wmean == pytest.approx(qs / qc, abs=1e-9)
