@@ -335,6 +335,71 @@ def clip_ring_to_rect(ring: np.ndarray, e: Extent) -> np.ndarray:
     return pts
 
 
+def clip_ring_to_convex(ring: np.ndarray, clip_ring: np.ndarray) -> np.ndarray:
+    """Sutherland–Hodgman against an ARBITRARY CONVEX clip polygon: one
+    half-plane pass per clip edge (orientation normalized to CCW first).
+    The subject ring may be anything; the clip ring must be convex —
+    checked by :func:`is_convex_ring` at call sites that accept user
+    polygons."""
+    pts = np.asarray(ring, dtype=np.float64)
+    if len(pts) and (pts[0] == pts[-1]).all():
+        pts = pts[:-1]
+    cp = np.asarray(clip_ring, dtype=np.float64)
+    if len(cp) and (cp[0] == cp[-1]).all():
+        cp = cp[:-1]
+    # normalize clip orientation to CCW so 'inside' is a non-negative cross
+    x, y = cp[:, 0], cp[:, 1]
+    signed = 0.5 * float(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1)))
+    if signed < 0.0:
+        cp = cp[::-1]
+    n_clip = len(cp)
+    for e in range(n_clip):
+        if len(pts) == 0:
+            break
+        a, b = cp[e], cp[(e + 1) % n_clip]
+        ex, ey = b[0] - a[0], b[1] - a[1]
+        out: list = []
+        n = len(pts)
+        for i in range(n):
+            p, q = pts[i], pts[(i + 1) % n]
+            sp = ex * (p[1] - a[1]) - ey * (p[0] - a[0])
+            sq = ex * (q[1] - a[1]) - ey * (q[0] - a[0])
+            pin, qin = sp >= 0.0, sq >= 0.0
+            if pin:
+                out.append(p)
+            if pin != qin:
+                t = sp / (sp - sq)
+                out.append(p + t * (q - p))
+        pts = np.asarray(out, dtype=np.float64).reshape(-1, 2)
+    return pts
+
+
+def is_convex_ring(ring: np.ndarray) -> bool:
+    """True when the ring is convex (all nonzero edge cross products share
+    one sign; collinear runs allowed)."""
+    cp = np.asarray(ring, dtype=np.float64)
+    if len(cp) and (cp[0] == cp[-1]).all():
+        cp = cp[:-1]
+    if len(cp) < 3:
+        return False
+    d = np.roll(cp, -1, axis=0) - cp
+    cross = d[:, 0] * np.roll(d[:, 1], -1) - d[:, 1] * np.roll(d[:, 0], -1)
+    nz = cross[np.abs(cross) > 1e-12]
+    return bool(nz.size == 0 or (nz > 0).all() or (nz < 0).all())
+
+
+def clipped_area_convex(geom: Geometry, clip_ring: np.ndarray) -> float:
+    """Area of geometry ∩ convex clip polygon (exterior minus holes)."""
+    if geom.kind in ("Point", "MultiPoint"):
+        return 0.0
+    total = 0.0
+    for poly in geom.polygons:
+        for i, ring in enumerate(poly):
+            a = _ring_area(clip_ring_to_convex(ring, clip_ring))
+            total += a if i == 0 else -a
+    return max(total, 0.0)
+
+
 def _ring_area(ring: np.ndarray) -> float:
     """|shoelace| of a (possibly open) ring."""
     if len(ring) < 3:

@@ -345,10 +345,9 @@ def polygon_overlap_join(
     (pair_cols, feature_index) — never a geometry theta join. The exact
     area then runs per candidate pair in Arrow batches: the geometry
     (arbitrary rings, holes, multipolygons) is Sutherland-Hodgman-clipped
-    against the feature's rectangle. Features must be axis-aligned
-    rectangles for now (the convex clip window; verified per feature,
-    non-rect features raise) — general convex clip windows are a small
-    extension of the same kernel."""
+    against the feature. Features must be CONVEX single-ring polygons (the
+    clip window; verified per feature, non-convex features raise);
+    axis-aligned rectangles take the cheaper 4-half-plane path."""
     from ..core.grid import Extent as _Extent
 
     cover = cover_cells_for_features(features, res).select(
@@ -373,7 +372,9 @@ def polygon_overlap_join(
     names = [f.name for f in out_schema.fields]
 
     def refine(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        rects: dict[int, object] = {}
+        from ..core.geom import clipped_area_convex, is_convex_ring
+
+        windows: dict[int, tuple] = {}  # fi -> ('rect', Extent)|('convex', ring)
         gcache: dict[str, object] = {}
         for pdf in it:
             if len(pdf) == 0:
@@ -382,25 +383,38 @@ def polygon_overlap_join(
             for i, (txt, fi, fgj) in enumerate(
                 zip(pdf[geom_col], pdf["feature_index"], pdf["geojson"])
             ):
-                e = rects.get(int(fi))
-                if e is None:
+                win = windows.get(int(fi))
+                if win is None:
                     fg = parse_geometry(fgj)
                     bb = fg.bbox()
-                    if abs(clipped_area(fg, bb) - bb.width * bb.height) > 1e-9 * max(
-                        1.0, bb.width * bb.height
-                    ):
-                        raise NotImplementedError(
-                            "polygon_overlap_join clip windows must be "
-                            f"axis-aligned rectangles; feature {fi} is not"
-                        )
-                    e = _Extent(bb.xmin, bb.ymin, bb.xmax, bb.ymax)
-                    rects[int(fi)] = e
+                    if abs(
+                        clipped_area(fg, bb) - bb.width * bb.height
+                    ) <= 1e-9 * max(1.0, bb.width * bb.height):
+                        win = ("rect", _Extent(bb.xmin, bb.ymin, bb.xmax, bb.ymax))
+                    else:
+                        if (
+                            fg.kind != "Polygon"
+                            or len(fg.polygons[0]) != 1
+                            or not is_convex_ring(fg.polygons[0][0])
+                        ):
+                            raise NotImplementedError(
+                                "polygon_overlap_join clip windows must be "
+                                f"CONVEX single-ring polygons; feature {fi}"
+                                " is not"
+                            )
+                        win = ("convex", fg.polygons[0][0])
+                    windows[int(fi)] = win
                 g = gcache.get(txt)
                 if g is None:
                     g = parse_geometry(txt)
                     gcache[txt] = g
                 if g is not None:
-                    areas[i] = clipped_area(g, e)
+                    kind, w = win
+                    areas[i] = (
+                        clipped_area(g, w)
+                        if kind == "rect"
+                        else clipped_area_convex(g, w)
+                    )
             pdf = pdf.assign(overlap_area=areas)
             yield pdf.loc[areas > 0.0, names]
 

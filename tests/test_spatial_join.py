@@ -175,6 +175,28 @@ def test_clip_ring_area_general_polygons():
     assert abs(clipped_area(H, Extent(0.0, 0.0, 4.0, 4.0)) - 12.0) < 1e-12
     assert abs(clipped_area(H, Extent(2.0, 0.0, 4.0, 4.0)) - 6.0) < 1e-12
 
+    # convex (non-rect) clip windows: analytic anchors
+    from openeo_geotrellis_extensions_spark.core.geom import (
+        clipped_area_convex,
+        is_convex_ring,
+    )
+
+    tri = np.array([[0.0, 0.0], [4.0, 0.0], [0.0, 4.0]])
+    # triangle window fully containing a 1x1 square -> square area
+    sq = rect_geometry(Extent(0.5, 0.5, 1.5, 1.5))
+    assert abs(clipped_area_convex(sq, tri) - 1.0) < 1e-12
+    # square [0,4]^2 clipped by the triangle -> the triangle's area 8
+    assert abs(clipped_area_convex(r, tri) - 8.0) < 1e-12
+    # CW-wound clip ring gives the same result (orientation normalized)
+    assert abs(clipped_area_convex(r, tri[::-1]) - 8.0) < 1e-12
+    # concave L-shape subject against the triangle window: area of
+    # L ∩ tri = tri_area - area(tri ∩ notch [2,4]x[2,4]) = 8 - 0 ... the
+    # notch only touches the hypotenuse; analytic: tri ∩ [2,4]x[2,4] = 0
+    assert abs(clipped_area_convex(L, tri) - 8.0) < 1e-9
+    assert is_convex_ring(tri) and not is_convex_ring(
+        np.array([[0, 0], [4, 0], [4, 2], [2, 2], [2, 4], [0, 4]], dtype=float)
+    )
+
 
 def test_polygon_overlap_join_matches_bruteforce(spark):
     """Distributed overlap join == per-pair clipped_area brute force on the
@@ -220,15 +242,44 @@ def test_polygon_overlap_join_matches_bruteforce(spark):
     for k, v in want.items():
         assert abs(got[k] - v) < 1e-12, k
 
-    # L-shape placed over the hot-doc region so candidate pairs exist and
-    # the refine stage actually runs the rect check
+    # CONVEX non-rect windows work: a triangle over the hot-doc region,
+    # checked against per-pair brute force through the same convex kernel
+    from openeo_geotrellis_extensions_spark.core.geom import (
+        clipped_area_convex,
+    )
+
+    tri_ring = [[4.0, 50.6], [4.8, 50.6], [4.4, 51.5]]
+    tri = spark.createDataFrame(
+        [(0, '{"type": "Polygon", "coordinates": [['
+             '[4.0, 50.6], [4.8, 50.6], [4.4, 51.5], [4.0, 50.6]]]}')],
+        ["feature_index", "geojson"],
+    )
+    tgot = {
+        (r.doc_id, r.span_idx): r.overlap_area
+        for r in polygon_overlap_join(
+            geoms, tri, pair_cols=["doc_id", "span_idx"]
+        ).collect()
+    }
+    import numpy as np
+
+    twant = {}
+    for g in geoms.collect():
+        a = clipped_area_convex(parse_geometry(g.text), np.array(tri_ring))
+        if a > 0:
+            twant[(g.doc_id, g.span_idx)] = a
+    assert set(tgot) == set(twant) and twant
+    for k, v in twant.items():
+        assert abs(tgot[k] - v) < 1e-12
+
+    # L-shape (non-convex) placed over the hot-doc region so candidate
+    # pairs exist and the refine stage actually runs the convexity check
     bad = spark.createDataFrame(
         [(0, '{"type": "Polygon", "coordinates": '
              '[[[4.0, 50.6], [4.8, 50.6], [4.8, 51.0], [4.4, 51.0], '
              '[4.4, 51.5], [4.0, 51.5], [4.0, 50.6]]]}')],
         ["feature_index", "geojson"],
     )
-    with _pytest.raises(Exception, match="axis-aligned rect"):
+    with _pytest.raises(Exception, match="CONVEX single-ring"):
         polygon_overlap_join(
             geoms, bad, pair_cols=["doc_id", "span_idx"]
         ).collect()
