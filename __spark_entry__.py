@@ -3730,6 +3730,45 @@ _ORACLE_HEAVY_HITTERS = r"""
 """
 
 
+def _q_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fixed-bin quantile sketch over document lengths
+    (pipeline/sketch.py:histogram_quantiles): integer bin counts merge
+    exactly under any partitioning, the estimate is the left edge of the
+    first bin reaching ceil(q*N) — bit-reproducible across engines,
+    unlike percentile_approx's GK sketch."""
+    from openeo_geotrellis_extensions_spark.pipeline.sketch import (
+        histogram_quantiles,
+    )
+
+    docs = spark.read.parquet(_DOCS.format(sf=sf_dir))
+    return histogram_quantiles(
+        docs, "n_chars", lo=0.0, hi=1000.0, n_bins=500, qs=(0.5, 0.9, 0.99)
+    )
+
+
+_ORACLE_HIST_QUANTILES = """
+    WITH hist AS (
+        SELECT least(499, greatest(0,
+                   CAST(floor((CAST(n_chars AS DOUBLE) - 0.0)
+                              / 1000.0 * 500.0) AS BIGINT))) AS bin,
+               COUNT(*) AS c
+        FROM documents WHERE n_chars IS NOT NULL
+        GROUP BY 1),
+    cum AS (SELECT bin, c,
+                   SUM(c) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cm
+            FROM hist),
+    tot AS (SELECT SUM(c) AS n FROM hist),
+    qs AS (SELECT CAST(0.5 AS DOUBLE) AS q
+           UNION ALL SELECT CAST(0.9 AS DOUBLE)
+           UNION ALL SELECT CAST(0.99 AS DOUBLE))
+    SELECT q,
+           0.0 + b.bin * 1000.0 / 500.0 AS est,
+           CAST(n AS BIGINT) AS n
+    FROM qs, tot,
+    LATERAL (SELECT MIN(bin) AS bin FROM cum WHERE cm >= ceil(q * n)) b
+"""
+
+
 def _q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketed range join (operators/asof.py:interval_point_join): events
     against a deterministic per-user interval table (4 arithmetic windows
@@ -4017,6 +4056,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters": _q_heavy_hitters,
         "polygon_overlap": _q_polygon_overlap,
         "zonal_weighted": _q_zonal_weighted,
+        "hist_quantiles": _q_hist_quantiles,
         "canonical_docs": _q_canonical_docs,
         "filter_crop": _q_crop,
         "merge_cubes_concat": _q_merge_concat,
@@ -4136,6 +4176,7 @@ def oracle_sql() -> dict[str, str]:
         "heavy_hitters": _ORACLE_HEAVY_HITTERS,
         "polygon_overlap": _oracle_polygon_overlap(),
         "zonal_weighted": _oracle_zonal_weighted(),
+        "hist_quantiles": _ORACLE_HIST_QUANTILES,
         "canonical_docs": _oracle_canonical_docs(),
         "resample_average": _oracle_resample_average(),
         "load_netcdf": _oracle_load_netcdf(),

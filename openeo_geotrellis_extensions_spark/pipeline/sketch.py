@@ -106,3 +106,62 @@ def word_heavy_hitters(
         F.col("w") != ""
     )
     return heavy_hitters(words, "w", k=k, capacity=capacity)
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 1024,
+    qs: tuple = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Deterministic mergeable quantile sketch: a fixed-bin histogram over
+    [lo, hi). Bin counts are plain integers that merge by summation —
+    exact under any partitioning/order — and the q-quantile estimate is
+    the LEFT EDGE of the first bin whose cumulative count reaches
+    ceil(q * N). Error is bounded by one bin width ((hi-lo)/n_bins), and
+    unlike percentile_approx's GK sketch the result is bit-reproducible
+    across engines (the SQL oracle replays the identical arithmetic).
+    Values outside [lo, hi) clamp into the edge bins. -> (q, est, n).
+
+    Scale shape: one map-side-combined groupBy over at most n_bins keys;
+    the cumulative pass and quantile pick run over <= n_bins rows."""
+    span = float(hi) - float(lo)
+    if span <= 0 or n_bins < 1:
+        raise ValueError("need hi > lo and n_bins >= 1")
+    b = F.least(
+        F.lit(n_bins - 1),
+        F.greatest(
+            F.lit(0),
+            F.floor(
+                (F.col(value_col).cast("double") - F.lit(float(lo)))
+                / F.lit(span)
+                * F.lit(float(n_bins))
+            ),
+        ),
+    ).cast("long")
+    hist = df.where(F.col(value_col).isNotNull()).groupBy(b.alias("bin")).agg(
+        F.count("*").alias("c")
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.withColumn("cum", F.sum("c").over(w))
+    totals = hist.agg(F.sum("c").alias("n"))
+    spark = df.sparkSession
+    qdf = spark.createDataFrame([(float(q),) for q in qs], ["q"])
+    hit = (
+        qdf.crossJoin(F.broadcast(totals))
+        .join(
+            F.broadcast(cum),
+            F.col("cum") >= F.ceil(F.col("q") * F.col("n")),
+        )
+        .groupBy("q", "n")
+        .agg(F.min("bin").alias("bin"))
+    )
+    return hit.select(
+        "q",
+        (F.lit(float(lo)) + F.col("bin") * F.lit(span) / F.lit(float(n_bins))).alias(
+            "est"
+        ),
+        F.col("n").cast("long").alias("n"),
+    )

@@ -94,3 +94,39 @@ def test_word_heavy_hitters_normalization(spark):
         for r in word_heavy_hitters(docs, k=5, capacity=64).collect()
     }
     assert got == {"fox": (4, 1), "the": (3, 2)}
+
+
+def test_histogram_quantiles_bound_and_partition_invariance(spark):
+    """Fixed-bin quantile sketch: estimate within one bin width of the
+    exact quantile, identical under repartitioning, exact N, and clamped
+    edge bins for out-of-range values."""
+    import numpy as np
+
+    from openeo_geotrellis_extensions_spark.pipeline.sketch import (
+        histogram_quantiles,
+    )
+
+    rng = np.random.RandomState(5)
+    vals = np.concatenate(
+        [rng.gamma(4.0, 50.0, 9000), [-50.0, 5000.0]]  # plus out-of-range
+    )
+    df = spark.createDataFrame([(float(v),) for v in vals], ["v"])
+    qs = (0.1, 0.5, 0.9, 0.99)
+    lo, hi, nb = 0.0, 1000.0, 250
+    width = (hi - lo) / nb
+    got = {
+        r.q: (r.est, r.n)
+        for r in histogram_quantiles(df, "v", lo, hi, nb, qs).collect()
+    }
+    assert all(n == len(vals) for _, n in got.values())
+    clamped = np.clip(vals, lo, np.nextafter(hi, lo))
+    for q in qs:
+        exact = float(np.quantile(clamped, q, method="inverted_cdf"))
+        assert got[q][0] <= exact <= got[q][0] + width, (q, got[q][0], exact)
+    again = {
+        r.q: r.est
+        for r in histogram_quantiles(
+            df.repartition(13), "v", lo, hi, nb, qs
+        ).collect()
+    }
+    assert {q: e for q, (e, _) in got.items()} == again
