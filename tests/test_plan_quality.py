@@ -127,6 +127,8 @@ def test_no_unjustified_cartesian_in_any_registered_query(spark):
         "zonal_stats_const",   # dense restore: crossJoin of tiny date/band dims
         "zonal_stats_arith",   # dense restore: crossJoin of tiny date/band dims
         "media_zonal",         # dense restore: crossJoin of tiny date/band dims
+        "zonal_weighted",      # dense restore: crossJoin of tiny date/band dims
+        "hist_quantiles",      # crossJoin(broadcast(totals)), a single scalar row
         "aggregate_temporal",  # dense interval fill: tiny interval dim
         "mask_polygon",        # crossJoin(broadcast(ONE row of collected feats))
     }
