@@ -4039,11 +4039,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering note: the external correctness gate walks this dict in
     # registration order and may truncate on a per-run budget (r3 and r4
     # each gated exactly the first 50), so queries ROTATE each round: the
-    # stalest driver row goes first.  r5 order: resample_lcc is new (never
-    # gated); then the 22 queries whose latest driver row is
+    # stalest driver row goes first.  r5 order: the 13 round-5 additions
+    # (never gated) lead; then the 22 queries whose latest driver row is
     # CORRECTNESS_r03 (absent from r4's 50-cut); then the 50 r4-gated
-    # queries.  Within each group: ascending measured sf0.01 cost, so a
-    # time-budget cut still gates as many queries as possible.
+    # queries.  Within the latter two groups: ascending measured sf0.01
+    # cost, so a time-budget cut still gates as many queries as possible.
     return {
         "resample_lcc": _q_resample_lcc,
         "resample_proj4": _q_resample_proj4,
