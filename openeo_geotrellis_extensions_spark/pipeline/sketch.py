@@ -82,14 +82,19 @@ def heavy_hitters(
     summaries, merged by summation (summing per-partition estimates keeps
     the MG bound: each partition under-counts by at most N_p/capacity, so
     the merged estimate under-counts by at most N/capacity and never
-    over-counts). -> (item, est, rank), rank by (est desc, item asc)."""
+    over-counts). -> (item, est, rank), rank by (est desc, item asc).
+
+    The top-k itself goes through orderBy().limit(k) — Spark plans that as
+    TakeOrderedAndProject (per-partition heaps + a k-row driver merge), so
+    no single task ever sorts the full partitions*capacity sketch table (a
+    global-window row_number would); the rank column is then assigned over
+    just the k survivors."""
     partials = mg_partition_sketches(df, item_col, capacity)
     merged = partials.groupBy("item").agg(F.sum("est").alias("est"))
-    w = Window.orderBy(F.desc("est"), F.asc("item"))
-    return (
-        merged.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("item", "est", F.col("rank").cast("int").alias("rank"))
+    top = merged.orderBy(F.desc("est"), F.asc("item")).limit(k)
+    w = Window.orderBy(F.desc("est"), F.asc("item"))  # k rows only
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "item", "est", F.col("rank").cast("int").alias("rank")
     )
 
 
