@@ -42,6 +42,13 @@ def asof_join(
     which duplicate wins would make the join nondeterministic).
     """
     keys = [on] if isinstance(on, str) else list(on)
+    if not keys:
+        raise ValueError(
+            "asof_join needs at least one key column: a keyless as-of would"
+            " sort the whole union in ONE partition (Window.partitionBy of"
+            " nothing) — add a coarse time-bucket key if the data is truly"
+            " global"
+        )
     if value_cols is None:
         value_cols = [
             c for c in right.columns if c not in keys and c != ts_col

@@ -140,3 +140,16 @@ def test_interval_point_join_matches_bruteforce(spark):
     )
     rows = interval_point_join(pts, one, on="user_id").collect()
     assert [r.event_id for r in rows] == [1]
+
+
+def test_asof_rejects_keyless_join(spark):
+    from openeo_geotrellis_extensions_spark.operators.asof import asof_join
+
+    df = spark.range(3).select(
+        F.col("id").alias("event_id"),
+        F.timestamp_seconds(F.col("id")).alias("ts"),
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="at least one key"):
+        asof_join(df, df, on=[], value_cols=["event_id"])
