@@ -311,7 +311,10 @@ def aggregate_spatial(
     )
 
     # dense restore: every (date, feature, band) present even with 0 pixels
-    dates = cube.df.select("time").distinct()
+    # (distinct_times uses the constructor's cheap pre-Python lineage when
+    # available — the full cube.df branch would re-run the opaque tile
+    # stage just to enumerate dates)
+    dates = cube.distinct_times()
     bands_df = dates.sparkSession.range(n_bands).select(F.col("id").cast("int").alias("band"))
     full = dates.crossJoin(F.broadcast(features.select("feature_index"))).crossJoin(
         F.broadcast(bands_df)
@@ -486,7 +489,7 @@ def aggregate_spatial_weighted(
         (F.col("_qs") / F.lit(1_000_000.0)).alias("wsum"),
         F.when(F.col("_qc") > 0, F.col("_qs") / F.col("_qc")).alias("wmean"),
     )
-    dates = cube.df.select("time").distinct()
+    dates = cube.distinct_times()
     bands_df = dates.sparkSession.range(n_bands).select(
         F.col("id").cast("int").alias("band")
     )

@@ -44,14 +44,34 @@ def ngram_expr(text_col: str, n: int) -> str:
     )
 
 
+def _word_array(text_col: str):
+    """Normalized word array of a text column (one split per row)."""
+    return F.split(
+        F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " "
+    )
+
+
+def _ngrams_from_words(words, n: int):
+    """n-gram array over a MATERIALIZED word-array column. Same grams as
+    ``ngram_expr`` but the split happens once per row: codegen cannot hoist
+    the ``split(norm, ' ')`` subexpression out of the transform lambda, so
+    the SQL-string form re-splits the text per gram — O(words^2) characters
+    per document (guide §4: make the per-row work linear before scaling)."""
+    return F.when(F.size(words) < n, F.array()).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - n),
+            lambda i: F.array_join(F.slice(words, i + F.lit(1), n), " "),
+        )
+    )
+
+
 def word_ngrams(
     df: DataFrame, text_col: str, id_col: str, n: int = 3, distinct: bool = True
 ) -> DataFrame:
     """Word n-grams per document: (id, ngram); ``distinct`` dedupes per doc
     (set semantics for Jaccard; pass False for occurrence counts)."""
-    out = df.select(
-        F.col(id_col).alias("id"), F.explode(F.expr(ngram_expr(text_col, n))).alias("ngram")
-    )
+    words = df.select(F.col(id_col).alias("id"), _word_array(text_col).alias("_w"))
+    out = words.select("id", F.explode(_ngrams_from_words(F.col("_w"), n)).alias("ngram"))
     return out.distinct() if distinct else out
 
 
@@ -71,14 +91,37 @@ def jaccard_verify(
     ``grams``: optionally pass a precomputed (persisted) word_ngrams table
     so multi-stage pipelines tokenize the corpus once.
     -> (id_a, id_b, jaccard)."""
-    if grams is None:
-        grams = word_ngrams(df, text_col, id_col, n)
+    # the candidate table fans out below (ids + the per-pair gram attach):
+    # without materialization every branch re-evaluates the full candidate
+    # generation DAG (measured: 25 corpus scans / 41 signature aggregations
+    # in ONE execution of the LSH-verify plan — AQE exchange reuse does not
+    # cover it). localCheckpoint(eager=False) materializes the pair list
+    # once WITHIN this invocation's DAG and cuts its lineage; unlike
+    # persist() it registers nothing in the CacheManager, so a fresh
+    # invocation of the same query recomputes from the inputs (no
+    # cross-run result reuse). Candidate pairs are a decision-sized proxy
+    # table (guide §8: shuffle keys and metadata, not payloads).
+    cand = cand.localCheckpoint(eager=False)
     ids = (
         cand.select(F.col("id_a").alias("id"))
         .union(cand.select(F.col("id_b").alias("id")))
         .distinct()
     )
-    gc = grams.join(ids, "id", "left_semi")
+    if grams is None:
+        # tokenize AFTER the candidate semi-join: the per-doc distinct()
+        # inside word_ngrams shuffles the gram table, so restricting the
+        # corpus to candidate docs first keeps that shuffle (and the
+        # tokenization itself) O(candidate docs), not O(corpus)
+        docs_c = df.join(
+            ids.withColumnRenamed("id", id_col), [id_col], "left_semi"
+        )
+        gc = word_ngrams(docs_c, text_col, id_col, n)
+    else:
+        gc = grams.join(ids, "id", "left_semi")
+    # gc feeds three branches (pair grams x2 + per-doc sizes): materialize
+    # the candidate-doc gram table once instead of tokenizing three times
+    # (same no-cross-run-reuse rationale as the cand checkpoint above)
+    gc = gc.localCheckpoint(eager=False)
     sizes = gc.groupBy("id").agg(F.count("*").alias("sz"))
     # attach id_a's grams to each candidate pair, then equi-join on
     # (id_b, ngram): intersection counted per PAIR, no quadratic bucket
@@ -150,7 +193,10 @@ def ngram_jaccard_pairs(
                 hot.count(),
                 max_df,
             )
-        idx = grams.join(hot, "ngram", "left_anti")
+        # one tokenize + one document-frequency pass: the inverted index
+        # feeds both sides of the candidate self-join (and the df-cap
+        # anti-join re-derives grams), so materialize it within this DAG
+        idx = grams.join(hot, "ngram", "left_anti").localCheckpoint(eager=False)
         cand = (
             idx.alias("a")
             .join(
@@ -173,6 +219,9 @@ def ngram_jaccard_pairs(
                 "quadratic on hot n-grams. Set max_df (prefix filtering), "
                 "use minhash_lsh, or pass max_docs explicitly."
             )
+    # uncapped exact path (max_docs-guarded): grams feed sizes + both join
+    # sides — materialize the tokenization once within this DAG
+    grams = grams.localCheckpoint(eager=False)
     sizes = grams.groupBy("id").agg(F.count("*").alias("sz"))
     a = grams.alias("a")
     b = grams.alias("b")
@@ -210,7 +259,11 @@ def minhash_signatures(
     digest (a valid min-wise hash, portable to any engine with md5).
     -> (id, sig: array<string>[num_hashes])."""
     if grams is None:
-        grams = word_ngrams(df, text_col, id_col, n)
+        # distinct=False: MIN is idempotent over duplicate grams, so the
+        # signature is identical without the per-doc dedup — and skipping it
+        # removes a full shuffle of the exploded gram table (guide §2.4);
+        # the groupBy(id) partial-aggregates map-side either way
+        grams = word_ngrams(df, text_col, id_col, n, distinct=False)
     mins = [
         F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("ngram")))).alias(f"m{i}")
         for i in range(num_hashes)
@@ -253,6 +306,14 @@ def minhash_lsh_pairs(
     buckets = sig.select("id", F.explode(band_structs).alias("bb")).select(
         "id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
+    # the self-join evaluates its input subtree once per side — without
+    # materialization the whole signature pipeline (tokenize + 16 md5s per
+    # gram + min-aggregate) runs twice. The bucket table is n_docs x bands
+    # rows of (id, band, 32-char bucket) — the guide §8 'fingerprints only'
+    # proxy — so materializing it within this invocation's DAG is cheap;
+    # localCheckpoint does not register in the CacheManager (no cross-run
+    # reuse, every invocation recomputes from the inputs).
+    buckets = buckets.localCheckpoint(eager=False)
     a = buckets.alias("a")
     b = buckets.alias("b")
     cand = (
@@ -359,6 +420,9 @@ def simhash_band_candidates(
     ).select(
         "id", "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
+    # materialize once within this DAG: the self-join would otherwise run
+    # the 64-bit signature aggregation (64 SUMs over exploded words) twice
+    bands = bands.localCheckpoint(eager=False)
     a = bands.select(
         F.col("id").alias("id_a"), F.col("simhash").alias("sa"), "band", "key"
     )
@@ -437,7 +501,10 @@ def substring_duplicate_spans(
     (pipeline/text.py)."""
     grams = df.select(
         F.col(id_col).cast("long").alias("id"),
-        F.posexplode(F.expr(ngram_expr(text_col, n))).alias("pos", "g"),
+        _word_array(text_col).alias("_w"),
+    ).select(
+        "id",
+        F.posexplode(_ngrams_from_words(F.col("_w"), n)).alias("pos", "g"),
     ).select("id", "pos", F.md5("g").alias("h"))
     dfreq = grams.groupBy("h").agg(F.countDistinct("id").alias("n_docs"))
     flagged = grams.join(
@@ -677,6 +744,9 @@ def embedding_near_dups_lsh(
     from .similarity import hyperplane_buckets
 
     sigs = hyperplane_buckets(emb, bits, tables, dim, id_col, vec_col)
+    # self-join input materialized once (signature arithmetic otherwise
+    # runs per side); (id, bucket, vec) rows only — decision-sized
+    sigs = sigs.localCheckpoint(eager=False)
     a = sigs.alias("a")
     b = sigs.alias("b")
     cand = (

@@ -258,11 +258,27 @@ class ResumableWriter:
             seg = f.split("/")[1]  # rw_attempt=<id>/<pc>=<bucket>/part-*.parquet
             if seg.startswith(f"{pc}="):
                 files_by_bucket.setdefault(seg.split("=", 1)[1], []).append(f)
-        counts = {
-            b: sum(
-                self.fs.parquet_num_rows(os.path.join(self.out_dir, f))
-                for f in files
+        # footer reads are independent ~KB tail reads (range GETs on an
+        # object store): fan them out on a driver thread pool instead of a
+        # serial loop — I/O-bound, so threads suffice and results are
+        # order-independent sums
+        from concurrent.futures import ThreadPoolExecutor
+
+        all_files = [f for files in files_by_bucket.values() for f in files]
+        with ThreadPoolExecutor(max_workers=min(32, max(1, len(all_files)))) as ex:
+            n_rows = dict(
+                zip(
+                    all_files,
+                    ex.map(
+                        lambda f: self.fs.parquet_num_rows(
+                            os.path.join(self.out_dir, f)
+                        ),
+                        all_files,
+                    ),
+                )
             )
+        counts = {
+            b: sum(n_rows[f] for f in files)
             for b, files in files_by_bucket.items()
         }
         wall = time.time() - t0

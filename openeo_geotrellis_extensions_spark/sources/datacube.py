@@ -69,12 +69,27 @@ class DataCube:
 
     df: DataFrame
     meta: CubeMeta
+    #: optional cheap lineage for ``df.select('time').distinct()`` — cube
+    #: constructors whose tiles come out of an opaque mapInPandas stage set
+    #: this to the PRE-Python distinct-times frame, so consumers doing a
+    #: dense restore (aggregate_spatial's every-(date,feature) output) do
+    #: not re-run the whole Python tile stage just to enumerate dates
+    #: (column pruning cannot reach through mapInPandas, guide §4.1/§2.4)
+    times: DataFrame | None = None
 
     @property
     def key_cols(self) -> list[str]:
         return (["time"] if self.meta.temporal else []) + ["col", "row"]
 
+    def distinct_times(self) -> DataFrame:
+        """(time) distinct — via the cheap ``times`` lineage when present."""
+        if self.times is not None:
+            return self.times
+        return self.df.select("time").distinct()
+
     def with_df(self, df: DataFrame) -> "DataCube":
+        # deliberately drops ``times``: an arbitrary df transform may have
+        # changed the time dimension, so the hint would be unsound
         return DataCube(df, self.meta)
 
     def with_meta(self, **kw) -> "DataCube":
@@ -136,7 +151,21 @@ def constant_cube(
         "bands", F.array(*[F.lit(bytearray(b)) for b in bufs])
     )
     names = band_names or tuple(f"band{i}" for i in range(len(band_values)))
-    return DataCube(df, CubeMeta(layout, cell_type, names, temporal=True))
+    return DataCube(
+        df,
+        CubeMeta(layout, cell_type, names, temporal=True),
+        times=_times_df(spark, dates),
+    )
+
+
+def _times_df(spark: SparkSession, dates: list[str]) -> DataFrame:
+    """Distinct-times frame for a literal date list (same timestamp values
+    the cube rows carry)."""
+    return spark.range(1).select(
+        F.explode(
+            F.array(*[F.to_timestamp(F.lit(d)) for d in dates])
+        ).alias("time")
+    )
 
 
 def arithmetic_cube(
@@ -189,7 +218,11 @@ def arithmetic_cube(
 
     df = base.mapInPandas(gen, schema=schema)
     names = tuple(f"band{i}" for i in range(n_bands))
-    return DataCube(df, CubeMeta(layout, cell_type, names, temporal=True))
+    return DataCube(
+        df,
+        CubeMeta(layout, cell_type, names, temporal=True),
+        times=_times_df(spark, dates),
+    )
 
 
 def pattern_cube(
@@ -282,4 +315,13 @@ def media_cube(docs: DataFrame, tile_size: int = 16) -> DataCube:
             yield pd.DataFrame(out, columns=["time", "col", "row", "bands"])
 
     df = keys.mapInPandas(gen, schema=schema)
-    return DataCube(df, CubeMeta(layout, MEDIA_CELL_TYPE, ("B0", "B1"), temporal=True))
+    # cheap distinct-times lineage: gen maps keys 1:1, so the cube's
+    # distinct times are exactly the distinct parsed dates — skipping both
+    # the (date,d,col,row) groupBy and the Python tile stage
+    times = parsed.select("date").distinct().select(
+        F.to_timestamp("date").alias("time")
+    )
+    return DataCube(
+        df, CubeMeta(layout, MEDIA_CELL_TYPE, ("B0", "B1"), temporal=True),
+        times=times,
+    )

@@ -250,10 +250,63 @@ def extract_geometries(docs: DataFrame) -> DataFrame:
     )
 
     def parse_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import json as _json
+
         for pdf in it:
             rows = []
             for doc_id, span_idx, text in zip(pdf["doc_id"], pdf["span_idx"], pdf["text"]):
-                g = parse_geometry(text) if text else None
+                if not text:
+                    continue
+                # fast path for plain GeoJSON Point / single-small-ring
+                # Polygon: bbox/representative point straight off the
+                # parsed coordinate lists — skips the Geometry dataclass +
+                # four numpy reductions per row (the per-row numpy overhead
+                # dominated this stage; guide §4.2: per-task work). Results
+                # are bit-identical: json.loads yields the same doubles,
+                # min/max are order-free, and a sequential Python sum over
+                # <= 7 ring points is bit-identical to numpy's mean (numpy
+                # switches to unrolled pairwise summation at 8 elements —
+                # verified empirically per size). Anything else (WKT,
+                # multi-ring, multi-polygon, longer rings) falls back to
+                # the exact parse_geometry path.
+                if text.lstrip().startswith("{"):
+                    try:
+                        obj = _json.loads(text)
+                        t = obj.get("type")
+                        if t == "Point":
+                            c = obj["coordinates"]
+                            x, y = float(c[0]), float(c[1])
+                            rows.append(
+                                (doc_id, span_idx, "Point", x, y, x, y, x, y, text)
+                            )
+                            continue
+                        if t == "Polygon":
+                            coords = obj.get("coordinates")
+                            if (
+                                isinstance(coords, list)
+                                and len(coords) == 1
+                                and 3 <= len(coords[0]) <= 7
+                            ):
+                                ring = coords[0]
+                                xs = [float(p[0]) for p in ring]
+                                ys = [float(p[1]) for p in ring]
+                                sx = 0.0
+                                sy = 0.0
+                                for vx in xs:
+                                    sx += vx
+                                for vy in ys:
+                                    sy += vy
+                                rows.append(
+                                    (
+                                        doc_id, span_idx, "Polygon",
+                                        min(xs), min(ys), max(xs), max(ys),
+                                        sx / len(xs), sy / len(ys), text,
+                                    )
+                                )
+                                continue
+                    except (ValueError, TypeError, IndexError, KeyError):
+                        pass  # malformed fast-path shape: exact path decides
+                g = parse_geometry(text)
                 if g is None:
                     continue
                 bb = g.bbox()
