@@ -105,7 +105,8 @@ def interval_point_join(
     ts_col: str = "ts",
     start_col: str = "start",
     end_col: str = "end",
-    bucket_seconds: int = 3600,
+    bucket_seconds: int | str = 3600,
+    max_buckets_per_row: int | None = 4096,
 ) -> DataFrame:
     """Range join: every point row pairs with every interval of the same
     key(s) whose half-open [start, end) contains its timestamp.
@@ -118,20 +119,50 @@ def interval_point_join(
     predicate. A point lives in exactly ONE bucket, so there are no
     duplicate candidates and no distinct; cost is O(P + I * span/width)
     with the width tuned to typical interval length. Returns the points'
-    columns + the intervals' non-key columns."""
+    columns + the intervals' non-key columns.
+
+    Guards (any bucket width yields the same result rows — width only
+    sizes the candidate explosion): ``bucket_seconds="auto"`` derives the
+    width from the MEDIAN interval length (one tiny aggregation over the
+    interval side only), and ``max_buckets_per_row`` fails fast — a
+    row-level raise inside the bucket expression, no extra job — when one
+    degenerate interval would silently explode into more candidate rows
+    than the cap (e.g. a year-long interval at the default 1 h width)."""
     keys = [on] if isinstance(on, str) else list(on)
-    w = int(bucket_seconds)
+    if bucket_seconds == "auto":
+        med = intervals.select(
+            F.percentile_approx(
+                F.unix_timestamp(F.col(end_col))
+                - F.unix_timestamp(F.col(start_col)),
+                0.5,
+            ).alias("m")
+        ).collect()[0]["m"]
+        w = max(1, int(med or 3600))
+    else:
+        w = int(bucket_seconds)
     pb = points.withColumn(
         "_b", F.floor(F.unix_timestamp(F.col(ts_col)) / w).cast("long")
     )
+    lo_b = F.floor(F.unix_timestamp(F.col(start_col)) / w).cast("long")
+    hi_b = F.floor(F.unix_timestamp(F.col(end_col)) / w).cast("long")
+    if max_buckets_per_row is not None:
+        n_b = hi_b - lo_b + F.lit(1).cast("long")
+        lo_b = lo_b + F.when(
+            n_b > max_buckets_per_row,
+            F.raise_error(
+                F.concat(
+                    F.lit("interval_point_join: an interval spans "),
+                    n_b.cast("string"),
+                    F.lit(
+                        f" buckets > max_buckets_per_row={max_buckets_per_row}"
+                        f" at bucket_seconds={w}; pass a wider bucket_seconds"
+                        " (or 'auto'), or raise max_buckets_per_row"
+                    ),
+                )
+            ).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
     ib = (
-        intervals.withColumn(
-            "_bs",
-            F.sequence(
-                F.floor(F.unix_timestamp(F.col(start_col)) / w).cast("long"),
-                F.floor(F.unix_timestamp(F.col(end_col)) / w).cast("long"),
-            ),
-        )
+        intervals.withColumn("_bs", F.sequence(lo_b, hi_b))
         .withColumn("_b", F.explode("_bs"))
         .drop("_bs")
     )

@@ -328,6 +328,79 @@ def aggregate_spatial(
     return out
 
 
+def _scanline_cover_areas(
+    g, te, h: int, w: int, cw: float, ch: float
+) -> np.ndarray:
+    """Exact per-pixel intersection areas of geometry ``g`` with the
+    ``h`` x ``w`` pixel grid of tile extent ``te`` — the scanline
+    replacement for clipping every pixel independently.
+
+    Per pixel ROW band each ring is Sutherland-Hodgman-clipped ONCE (to
+    the band's y-slab only; x is left unclipped). The area of the clipped
+    ring left of a vertical line x = t is, by Green's theorem with
+    F = (min(x, t), 0):
+
+        A_left(t) = oint min(x, t) dy
+                  = sum_edges dy_e * (mean of min(x, t) along the edge)
+
+    where the per-edge mean has the closed form avg(x) - penalty(t) with
+    penalty = 0 for t >= max(x), avg(x) - t for t <= min(x), and
+    (max(x) - t)^2 / (2 * (max(x) - min(x))) in between — evaluated for
+    ALL column boundaries at once as a numpy expression. Column areas are
+    consecutive differences of A_left; ring orientation is normalized by
+    the sign of the ring's total signed area; holes subtract (the same
+    exterior-minus-holes convention as :func:`core.geom.clipped_area`,
+    with the per-pixel total clamped at >= 0).
+
+    The result is exact up to float rounding; it can differ from the
+    per-pixel clip path by ulps (a different but equally exact operation
+    order), which is below the 1e-6 micro-weight quantization except for
+    areas engineered to sit within an ulp of a half-micro boundary."""
+    from ..core.geom import clip_ring_to_rect
+    from ..core.grid import Extent as _Extent
+
+    if g.kind in ("Point", "MultiPoint"):
+        return np.zeros((h, w))
+    tb = te.xmin + np.arange(w + 1) * cw  # column boundaries, (w+1,)
+    total = np.zeros((h, w))
+    for poly in g.polygons:
+        for ri, ring in enumerate(poly):
+            r = np.asarray(ring, dtype=np.float64)
+            if len(r) < 3:
+                continue
+            # y-slab-only clip window: x bounds strictly outside the ring
+            # so the two x planes are exact no-ops
+            rx0 = float(r[:, 0].min()) - 1.0
+            rx1 = float(r[:, 0].max()) + 1.0
+            for iy in range(h):
+                band = _Extent(
+                    rx0, te.ymax - (iy + 1) * ch, rx1, te.ymax - iy * ch
+                )
+                cr = clip_ring_to_rect(r, band)
+                if len(cr) < 3:
+                    continue
+                xa = cr[:, 0][:, None]                   # (E, 1)
+                ya = cr[:, 1]
+                xb = np.roll(cr[:, 0], -1)[:, None]
+                dy = (np.roll(ya, -1) - ya)[:, None]     # (E, 1)
+                lo = np.minimum(xa, xb)
+                hi = np.maximum(xa, xb)
+                avg = (xa + xb) * 0.5
+                t = tb[None, :]                          # (1, w+1)
+                span = hi - lo
+                # penalty = integral of max(x - t, 0) along the edge
+                mid = np.where(span > 0.0, (hi - t) ** 2 / (2.0 * np.where(span > 0.0, span, 1.0)), np.maximum(xa - t, 0.0))
+                penalty = np.where(t >= hi, 0.0, np.where(t <= lo, avg - t, mid))
+                a_left = (dy * (avg - penalty)).sum(axis=0)  # (w+1,)
+                cols = np.diff(a_left)
+                # orientation-normalize (per-ring abs, like _ring_area):
+                # oint x dy = sum(dy * avg) is the ring's signed area
+                sgn = 1.0 if (dy * avg).sum() >= 0.0 else -1.0
+                contrib = sgn * cols
+                total[iy] += contrib if ri == 0 else -contrib
+    return np.maximum(total, 0.0)
+
+
 _WPARTIAL_SCHEMA = StructType(
     [
         StructField("time", TimestampType()),
@@ -359,8 +432,11 @@ def aggregate_spatial_weighted(
     Fast paths per (tile, feature): interior tiles take the constant full
     weight; boundary tiles against RECTANGLE features compute the exact
     per-axis overlap separably (outer product — O(h + w) work per tile);
-    general polygons fall back to an exact Sutherland-Hodgman clip per
-    pixel of the boundary tile (O(h * w) clips — still tile-local)."""
+    general polygons use an exact SCANLINE integral: one Sutherland-
+    Hodgman clip per pixel ROW band, then the per-column areas fall out of
+    a vectorized Green's-theorem partial integral A_left(t) = oint
+    min(x, t) dy evaluated at every column boundary at once — O(h * E)
+    clips and no per-pixel Python loop (was O(h * w) clips)."""
     layout = cube.meta.layout
     ct_name = cube.meta.cell_type
     shape = cube.meta.tile_shape
@@ -405,21 +481,11 @@ def aggregate_spatial_weighted(
                 wq = np.floor(
                     np.outer(oy, ox) / (cw * ch) * 1_000_000.0 + 0.5
                 ).astype(np.int64)
-            else:  # general polygon: exact per-pixel clip
-                wq = np.zeros(shape, dtype=np.int64)
-                for iy in range(h):
-                    for ix in range(w):
-                        e = _Extent(
-                            te.xmin + ix * cw,
-                            te.ymax - (iy + 1) * ch,
-                            te.xmin + (ix + 1) * cw,
-                            te.ymax - iy * ch,
-                        )
-                        a = clipped_area(g, e)
-                        if a > 0.0:
-                            wq[iy, ix] = int(
-                                np.floor(a / (cw * ch) * 1_000_000.0 + 0.5)
-                            )
+            else:  # general polygon: exact scanline coverage integral
+                areas = _scanline_cover_areas(g, te, h, w, cw, ch)
+                wq = np.floor(
+                    areas / (cw * ch) * 1_000_000.0 + 0.5
+                ).astype(np.int64)
             wq_cache[key] = wq
             return wq
 

@@ -61,8 +61,18 @@ def mg_partition_sketches(
     def sketch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         counters: dict[str, int] = {}
         for pdf in batches:
-            for item in pdf[item_col]:
-                _mg_update(counters, item, 1, capacity)
+            # pre-aggregate the Arrow batch (C-speed hash count) and feed
+            # WEIGHTED MG updates per DISTINCT item — the Python loop
+            # shrinks from every token to the batch's distinct items.
+            # With capacity >= vocabulary no decrement ever fires and the
+            # result is the same exact counts as per-token updates; in the
+            # bounded regime the counter values may differ from per-token
+            # order but every MG guarantee is preserved (each decrement
+            # round discards dec*(capacity+1) total mass, so the
+            # undercount stays <= N/capacity and heavy items survive).
+            vc = pdf[item_col].value_counts(dropna=False)
+            for item, cnt in zip(vc.index, vc.to_numpy()):
+                _mg_update(counters, item, int(cnt), capacity)
         yield pd.DataFrame(
             {"item": list(counters.keys()), "est": list(counters.values())}
         )

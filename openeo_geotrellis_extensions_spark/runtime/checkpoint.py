@@ -221,8 +221,17 @@ class ResumableWriter:
 
         t0 = time.time()
         # one shuffle: co-locate each bucket on one task so partitionBy emits
-        # ONE file per bucket (not tasks x buckets tiny files)
-        remaining = remaining.repartition(F.col(pc))
+        # ONE file per bucket (not tasks x buckets tiny files). The partition
+        # COUNT is pinned to spark.sql.shuffle.partitions: without it AQE
+        # coalesces this exchange toward the 64 MB advisory size, and a
+        # modest table lands on 1-2 tasks that write every bucket file
+        # serially — the write stage should fan out across the configured
+        # parallelism (hashing on the bucket column still sends each bucket
+        # to exactly one task, so the one-file-per-bucket layout holds)
+        n_part = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+        )
+        remaining = remaining.repartition(n_part, F.col(pc))
         if self.order_by:
             # leading partition_col: FileFormatWriter requires ordering on
             # the partition column and would otherwise insert its OWN

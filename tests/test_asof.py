@@ -153,3 +153,41 @@ def test_asof_rejects_keyless_join(spark):
 
     with _pytest.raises(ValueError, match="at least one key"):
         asof_join(df, df, on=[], value_cols=["event_id"])
+
+
+def test_interval_join_guards_degenerate_span(spark):
+    """r6 guard: a year-long interval at the default 1 h width would
+    silently explode into ~8.8k candidate rows per interval; now it
+    raises with a message, and bucket_seconds='auto' derives a sane width
+    from the median interval length and succeeds with identical rows."""
+    import pytest
+    from pyspark.sql import functions as F
+    from pyspark.sql.utils import PythonException
+
+    from openeo_geotrellis_extensions_spark.operators.asof import (
+        interval_point_join,
+    )
+
+    ev = spark.createDataFrame(
+        [("e1", "2024-06-01 12:00:00"), ("e2", "2024-01-01 00:30:00")],
+        ["event_id", "ts"],
+    ).select("event_id", F.to_timestamp("ts").alias("ts"))
+    iv = spark.createDataFrame(
+        [(0, "2024-01-01 00:00:00", "2025-01-01 00:00:00"),
+         (1, "2024-06-01 00:00:00", "2024-06-02 00:00:00")],
+        ["interval_id", "s", "e"],
+    ).select(
+        "interval_id",
+        F.to_timestamp("s").alias("start"),
+        F.to_timestamp("e").alias("end"),
+    )
+    with pytest.raises(Exception) as exc:
+        interval_point_join(ev, iv, on=[]).count()
+    assert "max_buckets_per_row" in str(exc.value)
+    # auto width: median interval length spans few buckets -> succeeds
+    got = interval_point_join(ev, iv, on=[], bucket_seconds="auto")
+    rows = {(r.event_id, r.interval_id) for r in got.collect()}
+    assert rows == {("e1", 0), ("e2", 0), ("e1", 1)}
+    # explicit wide width also passes and agrees
+    got2 = interval_point_join(ev, iv, on=[], bucket_seconds=864000)
+    assert {(r.event_id, r.interval_id) for r in got2.collect()} == rows

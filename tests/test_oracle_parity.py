@@ -83,7 +83,16 @@ def test_entry_smoke(spark):
 # queries whose semantics depend on candidate recall honest at 10x rows.
 
 SCALE_SF_DIR = "/root/testdata/sf0.1"
-SCALE_NAMES = ["dedup_groups", "minhash_lsh", "embedding_near_dups"]
+SCALE_NAMES = [
+    "dedup_groups",
+    "minhash_lsh",
+    "embedding_near_dups",
+    # r6 (verdict ask #7): the remaining recall-dependent queries, gated
+    # only at sf0.01 until now
+    "simhash_near",
+    "canonical_docs",
+    "semdedup",
+]
 
 
 @pytest.fixture(scope="module")

@@ -202,3 +202,54 @@ def test_weighted_zonal_matches_per_pixel_bruteforce(spark):
         assert row.wcount == pytest.approx(qc / 1e6, abs=1e-9)
         assert row.wsum == pytest.approx(qs / 1e6, abs=1e-9)
         assert row.wmean == pytest.approx(qs / qc, abs=1e-9)
+
+
+def test_scanline_cover_areas_matches_per_pixel_clip():
+    """The r6 scanline weight grid (one row-band clip + vectorized
+    Green's-theorem column integral) against the per-pixel
+    Sutherland-Hodgman brute force it replaced: quantized micro-weights
+    agree within 1 micro per pixel (the two are the same exact integral
+    in different float evaluation orders), and the grid total equals the
+    polygon's exact area. 64x64 tile per the r5 verdict's A/B ask."""
+    from openeo_geotrellis_extensions_spark.core.geom import clipped_area
+    from openeo_geotrellis_extensions_spark.operators.zonal import (
+        _scanline_cover_areas,
+    )
+
+    h = w = 64
+    te = Extent(0.0, 0.0, 4.0, 4.0)
+    cw = ch = 4.0 / 64
+    tri = json.dumps(
+        {"type": "Polygon",
+         "coordinates": [[[0.37, 0.21], [3.83, 1.03], [1.3, 3.77], [0.37, 0.21]]]}
+    )
+    lshape = json.dumps(
+        {"type": "Polygon",
+         "coordinates": [[[0.53, 0.51], [2.47, 0.51], [2.47, 1.48],
+                          [1.52, 1.48], [1.52, 2.46], [0.53, 2.46],
+                          [0.53, 0.51]]]}
+    )
+    holed = json.dumps(
+        {"type": "Polygon",
+         "coordinates": [
+             [[0.4, 0.4], [3.6, 0.6], [3.4, 3.6], [0.6, 3.4], [0.4, 0.4]],
+             [[1.2, 1.2], [2.8, 1.3], [2.6, 2.8], [1.3, 2.6], [1.2, 1.2]],
+         ]}
+    )
+    for gj in (tri, lshape, holed):
+        g = parse_geometry(gj)
+        areas = _scanline_cover_areas(g, te, h, w, cw, ch)
+        wq_new = np.floor(areas / (cw * ch) * 1e6 + 0.5).astype(np.int64)
+        wq_old = np.zeros((h, w), dtype=np.int64)
+        for iy in range(h):
+            for ix in range(w):
+                e = Extent(
+                    ix * cw, 4.0 - (iy + 1) * ch, (ix + 1) * cw, 4.0 - iy * ch
+                )
+                a = clipped_area(g, e)
+                if a > 0.0:
+                    wq_old[iy, ix] = int(np.floor(a / (cw * ch) * 1e6 + 0.5))
+        assert np.abs(wq_new - wq_old).max() <= 1, gj
+        # exact area check: sum of fractional coverages == polygon area
+        want = clipped_area(g, te)
+        assert areas.sum() == pytest.approx(want, rel=1e-12), gj
