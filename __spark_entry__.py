@@ -4037,99 +4037,111 @@ _ORACLE_STREAM_DEDUP = r"""
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering note: the external correctness gate walks this dict in
-    # registration order and may truncate on a per-run budget (r3 and r4
-    # each gated exactly the first 50), so queries ROTATE each round: the
-    # stalest driver row goes first.  r5 order: the 13 round-5 additions
-    # (never gated) lead; then the 22 queries whose latest driver row is
-    # CORRECTNESS_r03 (absent from r4's 50-cut); then the 50 r4-gated
-    # queries.  Within the latter two groups: ascending measured sf0.01
-    # cost, so a time-budget cut still gates as many queries as possible.
+    # registration order and may truncate on a per-run budget (r3-r5 each
+    # gated exactly the first 50), so queries ROTATE each round: the
+    # stalest driver row goes first.  r6 order (optimization round — every
+    # query whose OPERATOR code changed this round must gate on the new
+    # code): (1) the three r5-modified operators whose latest driver rows
+    # predate their rewrite (VERDICT r5 "what's wrong" #3); (2) the 26
+    # queries over r6-optimized operators (dedup/tokenize pipeline, MG
+    # sketch, zonal + scanline weights, spatial join feature map,
+    # extract_geometries fast path, interval guard, LM scorers, LSH
+    # self-join materialization); (3) twelve r4-row queries whose cube
+    # constructor gained the distinct-times hint; (4) r5-row queries with
+    # the same hint-only change.  The 35 below the cut are either
+    # untouched since their latest green row or hint-only with fresh r5
+    # rows.
     return {
+        # -- (1) stale driver rows for r5-rewritten operators ------------
+        "simhash_near": _q_simhash_near,
+        "ivf_ann_hier": _q_ivf_ann_hier,
+        "dedup_groups": _q_dedup_groups,
+        # -- (2) r6-optimized operator paths -----------------------------
+        "minhash_lsh": _q_minhash_lsh,
+        "canonical_docs": _q_canonical_docs,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "ngram_jaccard_capped": _q_ngram_jaccard_capped,
+        "substring_dup_spans": _q_substring_dup_spans,
+        "simhash": _q_simhash,
+        "embedding_near_dups": _q_embedding_near_dups,
+        "semdedup": _q_semdedup,
+        "decontaminate": _q_decontaminate,
+        "corpus_curation": _q_corpus_curation,
+        "repetition_quality": _q_repetition_quality,
+        "dedup_exact": _q_dedup_exact,
+        "heavy_hitters": _q_heavy_hitters,
+        "unigram_lm": _q_unigram_lm,
+        "bigram_lm": _q_bigram_lm,
+        "lsh_ann": _q_lsh_ann,
+        "interval_join": _q_interval_join,
+        "spatial_join": _q_spatial_join,
+        "geo_knn": _q_geo_knn,
+        "doc_cells": _q_doc_cells,
+        "span_invariant": _q_span_invariant,
+        "polygon_overlap": _q_polygon_overlap,
+        "zonal_stats_const": _q_zonal_const,
+        "zonal_stats_arith": _q_zonal_arith,
+        "zonal_weighted": _q_zonal_weighted,
+        "media_zonal": _q_media_zonal,
+        # -- (3) stale r4 rows + cube-constructor hint change ------------
+        "resample_crs": _q_resample_crs,
+        "resample_utm": _q_resample_utm,
+        "resample_average": _q_resample_average,
+        "resample_bilinear": _q_resample_bilinear,
+        "resample_polar": _q_resample_polar,
+        "resample_laea": _q_resample_laea,
+        "reduce_bands_ndvi": _q_reduce_bands_ndvi,
+        "retile": _q_retile,
+        "apply_kernel": _q_apply_kernel,
+        "scl_dilation_mask": _q_scl_dilation,
+        "pyramid_zoom_out": _q_pyramid,
+        "chunk_polygon_udf": _q_chunk_polygon,
+        # -- (4) r5 rows + hint-only change ------------------------------
+        "filter_crop": _q_crop,
+        "merge_cubes_sum": _q_merge_sum,
+        "merge_cubes_concat": _q_merge_concat,
+        "mask_raster": _q_mask_raster,
+        "mask_polygon": _q_mask_polygon,
+        "load_geotiff": _q_load_geotiff,
+        "load_netcdf": _q_load_netcdf,
+        "run_udf_reduce": _q_run_udf,
+        "reduce_time_mean": _q_reduce_time_mean,
+        # ---- 50-cut (budget observed in r3-r5) -------------------------
         "resample_lcc": _q_resample_lcc,
         "resample_proj4": _q_resample_proj4,
         "dataset_split": _q_dataset_split,
         "gopher_rules": _q_gopher_rules,
-        "bigram_lm": _q_bigram_lm,
         "sessionize": _q_sessionize,
         "asof_join": _q_asof_join,
-        "interval_join": _q_interval_join,
-        "heavy_hitters": _q_heavy_hitters,
-        "polygon_overlap": _q_polygon_overlap,
-        "zonal_weighted": _q_zonal_weighted,
         "hist_quantiles": _q_hist_quantiles,
-        "canonical_docs": _q_canonical_docs,
-        "filter_crop": _q_crop,
-        "merge_cubes_concat": _q_merge_concat,
         "media_resize": _q_media_resize,
-        "ngram_jaccard": _q_ngram_jaccard,
         "load_collection": _q_load_collection,
-        "merge_cubes_sum": _q_merge_sum,
-        "rasterize": _q_rasterize,
-        "substring_dup_spans": _q_substring_dup_spans,
         "load_collection_per_product": _q_load_collection_per_product,
-        "embedding_near_dups": _q_embedding_near_dups,
         "load_stac": _q_load_stac,
         "aggregate_temporal": _q_aggregate_temporal,
-        "mask_raster": _q_mask_raster,
-        "zonal_stats_const": _q_zonal_const,
-        "lsh_ann": _q_lsh_ann,
-        "spatial_join": _q_spatial_join,
-        "mask_polygon": _q_mask_polygon,
-        "zonal_stats_arith": _q_zonal_arith,
-        "ivf_ann": _q_ivf_ann,
-        "minhash_lsh": _q_minhash_lsh,
-        "ngram_jaccard_capped": _q_ngram_jaccard_capped,
-        "geo_knn": _q_geo_knn,
+        "aggregate_temporal_period": _q_temporal_period,
+        "rasterize": _q_rasterize,
         "importance_sample": _q_importance_sample,
         "pii_redact": _q_pii_redact,
         "stratified_sample": _q_stratified_sample,
         "chunk_documents": _q_chunk_documents,
         "quality_classifier": _q_quality_classifier,
-        "aggregate_temporal_period": _q_temporal_period,
-        "dedup_exact": _q_dedup_exact,
-        "load_geotiff": _q_load_geotiff,
         "text_quality": _q_text_quality,
         "pack_sequences": _q_pack_sequences,
-        "load_netcdf": _q_load_netcdf,
-        "simhash": _q_simhash,
-        "run_udf_reduce": _q_run_udf,
-        "reduce_time_mean": _q_reduce_time_mean,
         "tfidf": _q_tfidf,
-        "unigram_lm": _q_unigram_lm,
-        "pyramid_zoom_out": _q_pyramid,
-        "agg_reducers": _q_agg_reducers,
-        "apply_kernel": _q_apply_kernel,
+        "ivf_ann": _q_ivf_ann,
         "knn_cosine": _q_knn_cosine,
         "sampled_features": _q_sampled_features,
-        "doc_cells": _q_doc_cells,
-        "resample_crs": _q_resample_crs,
+        "agg_reducers": _q_agg_reducers,
         "catboost_predict": _q_catboost_predict,
-        "resample_utm": _q_resample_utm,
         "media_decode_jpeg": _q_media_decode_jpeg,
-        "decontaminate": _q_decontaminate,
-        "corpus_curation": _q_corpus_curation,
         "media_features": _q_media_features,
         "media_decode": _q_media_decode,
-        "resample_average": _q_resample_average,
-        "repetition_quality": _q_repetition_quality,
-        "retile": _q_retile,
-        "resample_bilinear": _q_resample_bilinear,
-        "resample_polar": _q_resample_polar,
-        "reduce_bands_ndvi": _q_reduce_bands_ndvi,
         "stream_join": _q_stream_join,
-        "resample_laea": _q_resample_laea,
-        "simhash_near": _q_simhash_near,
-        "scl_dilation_mask": _q_scl_dilation,
-        "vectorize": _q_vectorize,
-        "chunk_polygon_udf": _q_chunk_polygon,
-        "span_invariant": _q_span_invariant,
         "stream_windowed": _q_stream_windowed,
         "stream_dedup_stateful": _q_stream_dedup,
         "stream_spatial_join": _q_stream_spatial_join,
-        "semdedup": _q_semdedup,
-        "ivf_ann_hier": _q_ivf_ann_hier,
-        "media_zonal": _q_media_zonal,
-        "dedup_groups": _q_dedup_groups,
+        "vectorize": _q_vectorize,
     }
 
 

@@ -253,18 +253,26 @@ def spatial_join_points(
     cover = cover_cells_for_features(features, res)
     if broadcast_features:
         cover = F.broadcast(cover)
-        feat = F.broadcast(features)
+        # features are small by contract on this path (they already fit a
+        # broadcast): collect the geojson map ONCE on the driver and close
+        # over it, instead of joining geojson onto EVERY candidate row —
+        # the per-row feature text would otherwise ride the whole Arrow
+        # stream into the refine UDF (guide §4.1: pass only the columns
+        # the function needs)
+        feat_map = {
+            int(r["feature_index"]): r["geojson"]
+            for r in features.select("feature_index", "geojson").collect()
+        }
     else:
+        feat_map = None
         feat = features
     pts = points.withColumn("cell", cell_for_point_col(res, F.col(x_col), F.col(y_col)))
     # single pipeline: candidates keep the contained flag; PIP runs only on
     # boundary-cell rows (interior 'contained' rows short-circuit in the UDF,
     # avoiding a union of two branches that would re-execute the upstream DAG)
-    cand = (
-        pts.join(cover, "cell", "inner")
-        .drop("cell")
-        .join(feat, "feature_index", "inner")
-    )
+    cand = pts.join(cover, "cell", "inner").drop("cell")
+    if feat_map is None:
+        cand = cand.join(feat, "feature_index", "inner")
 
     out_schema = StructType(
         [f for f in cand.schema.fields if f.name not in ("geojson", "contained")]
@@ -284,7 +292,10 @@ def spatial_join_points(
             for fi in np.unique(fis[todo]):
                 g = cache.get(int(fi))
                 if g is None:
-                    gj = pdf.loc[pdf["feature_index"] == fi, "geojson"].iloc[0]
+                    if feat_map is not None:
+                        gj = feat_map[int(fi)]
+                    else:
+                        gj = pdf.loc[pdf["feature_index"] == fi, "geojson"].iloc[0]
                     g = parse_geometry(gj)
                     cache[int(fi)] = g
                 m = todo & (fis == fi)

@@ -196,9 +196,16 @@ def aggregate_spatial(
     n_bands = cube.meta.n_bands
 
     fkeys = F.broadcast(feature_tile_keys(features, layout))
-    joined = cube.df.join(fkeys, ["col", "row"], "inner").join(
-        F.broadcast(features), "feature_index", "inner"
-    )
+    # geojson stays OUT of the tile join: the features on this path are
+    # broadcast-small by contract, so collect the feature map once on the
+    # driver and close over it — the polygon text would otherwise ride
+    # every (tile x feature) row through Arrow into the partials UDF
+    # (guide §4.1: pass only the columns the function needs)
+    feat_map = {
+        int(r["feature_index"]): r["geojson"]
+        for r in features.select("feature_index", "geojson").collect()
+    }
+    joined = cube.df.join(fkeys, ["col", "row"], "inner")
 
     from ..core.tiles import decode_tiles_batch_float
 
@@ -235,7 +242,7 @@ def aggregate_spatial(
                     if mask is None:
                         g = geom_cache.get(fi)
                         if g is None:
-                            g = parse_geometry(pdf["geojson"].iloc[i])
+                            g = parse_geometry(feat_map[fi])
                             geom_cache[fi] = g
                         xs, ys = layout.pixel_centers_for_key(c, r)
                         if g.kind in ("Point", "MultiPoint"):
@@ -443,9 +450,13 @@ def aggregate_spatial_weighted(
     n_bands = cube.meta.n_bands
 
     fkeys = F.broadcast(feature_tile_keys(features, layout))
-    joined = cube.df.join(fkeys, ["col", "row"], "inner").join(
-        F.broadcast(features), "feature_index", "inner"
-    )
+    # driver-side feature map instead of a geojson join (see
+    # aggregate_spatial: broadcast-small features by contract)
+    feat_map = {
+        int(r["feature_index"]): r["geojson"]
+        for r in features.select("feature_index", "geojson").collect()
+    }
+    joined = cube.df.join(fkeys, ["col", "row"], "inner")
 
     from ..core.geom import clipped_area
     from ..core.grid import Extent as _Extent
@@ -504,7 +515,7 @@ def aggregate_spatial_weighted(
             for i in range(nrow):
                 fi = int(fis_a[i])
                 if fi not in geom_cache:
-                    g = parse_geometry(pdf["geojson"].iloc[i])
+                    g = parse_geometry(feat_map[fi])
                     geom_cache[fi] = g
                     bb = g.bbox()
                     if (

@@ -75,6 +75,29 @@ def word_ngrams(
     return out.distinct() if distinct else out
 
 
+def _candidate_grams(
+    df: DataFrame,
+    ids: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int,
+    grams: DataFrame | None,
+) -> DataFrame:
+    """Gram table restricted to candidate ids — the verify stage's
+    candidate-scoping contract (round-1 fix), factored out so the plan
+    gate can assert the LeftSemi on the UN-checkpointed plan (a lazy
+    localCheckpoint compiles its subtree into an RDD lineage that the
+    outer plan string no longer shows). Tokenization runs AFTER the
+    semi-join, so word_ngrams' per-doc distinct shuffles O(candidate
+    docs), not O(corpus)."""
+    if grams is None:
+        docs_c = df.join(
+            ids.withColumnRenamed("id", id_col), [id_col], "left_semi"
+        )
+        return word_ngrams(docs_c, text_col, id_col, n)
+    return grams.join(ids, "id", "left_semi")
+
+
 def jaccard_verify(
     df: DataFrame,
     cand: DataFrame,
@@ -107,21 +130,12 @@ def jaccard_verify(
         .union(cand.select(F.col("id_b").alias("id")))
         .distinct()
     )
-    if grams is None:
-        # tokenize AFTER the candidate semi-join: the per-doc distinct()
-        # inside word_ngrams shuffles the gram table, so restricting the
-        # corpus to candidate docs first keeps that shuffle (and the
-        # tokenization itself) O(candidate docs), not O(corpus)
-        docs_c = df.join(
-            ids.withColumnRenamed("id", id_col), [id_col], "left_semi"
-        )
-        gc = word_ngrams(docs_c, text_col, id_col, n)
-    else:
-        gc = grams.join(ids, "id", "left_semi")
     # gc feeds three branches (pair grams x2 + per-doc sizes): materialize
     # the candidate-doc gram table once instead of tokenizing three times
     # (same no-cross-run-reuse rationale as the cand checkpoint above)
-    gc = gc.localCheckpoint(eager=False)
+    gc = _candidate_grams(df, ids, text_col, id_col, n, grams).localCheckpoint(
+        eager=False
+    )
     sizes = gc.groupBy("id").agg(F.count("*").alias("sz"))
     # attach id_a's grams to each candidate pair, then equi-join on
     # (id_b, ngram): intersection counted per PAIR, no quadratic bucket
@@ -272,6 +286,22 @@ def minhash_signatures(
     return sig.select("id", F.array(*[f"m{i}" for i in range(num_hashes)]).alias("sig"))
 
 
+def _spread_small_input(df: DataFrame) -> DataFrame:
+    """Scale-adaptive parallelism for CPU-heavy tokenize/hash pipelines:
+    a small corpus arrives as ONE parquet split (a 5k-row file is a
+    single row group), so the md5-per-gram projection and the signature
+    aggregation would run on a single task while 31 cores idle. When the
+    input has fewer partitions than the cluster's default parallelism,
+    spread it first; at scale the input already has thousands of splits
+    and this is a no-op (no shuffle added). Row-level semantics are
+    untouched — every downstream aggregation is keyed."""
+    sc = df.sparkSession.sparkContext
+    p = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < p:
+        return df.repartition(p)
+    return df
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -291,6 +321,7 @@ def minhash_lsh_pairs(
     # SLOWER + heap-heavy under default driver memory; recomputing the
     # columnar lineage per stage is cheaper. Callers with big memory budgets
     # can pass their own persisted table via the grams= parameters.
+    df = _spread_small_input(df)
     sig = minhash_signatures(df, text_col, id_col, n, num_hashes)
     band_structs = F.array(
         *[
@@ -403,7 +434,7 @@ def simhash_band_candidates(
     base = bits // n_bands
     widths = [base] * (n_bands - 1) + [bits - base * (n_bands - 1)]
     offsets = [sum(widths[:i]) for i in range(n_bands)]
-    sigs = simhash_signatures(df, text_col, id_col, bits)
+    sigs = simhash_signatures(_spread_small_input(df), text_col, id_col, bits)
     band_structs = F.array(
         *[
             F.struct(
@@ -536,11 +567,23 @@ def connected_components(
         pairs.selectExpr("id_a AS a", "id_b AS b")
         .unionByName(pairs.selectExpr("id_b AS a", "id_a AS b"))
         .distinct()
+        # pre-partition on the per-round join key: the cached partitioning
+        # is recognized by every round's equi-join on b, so only the
+        # (small) labels side shuffles each round (guide §2.4: establish
+        # the partitioning once)
+        .repartition(F.col("b"))
         .persist()  # edges re-join every round: compute the (possibly
         # expensive LSH+verify) upstream lineage exactly once
     )
-    labels = edges.selectExpr("a AS id").distinct().withColumn(
-        "component", F.col("id")
+    # seed with the FIRST propagation fused into initialization: starting
+    # from identity labels, round 1 would compute min(id, min neighbor) —
+    # that is one groupBy over the symmetric edge table, so the
+    # three-shuffle join round is skipped entirely for it (symmetrization
+    # guarantees every node appears as ``a``)
+    labels = (
+        edges.groupBy("a")
+        .agg(F.least(F.min("b"), F.col("a")).alias("component"))
+        .select(F.col("a").alias("id"), "component")
     )
     for _ in range(max_iters):
         # each node adopts the min label among itself and its neighbors
@@ -693,7 +736,9 @@ def semdedup(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
         _assign_udf(C)(F.col(vec_col)).alias("list_id"),
-    )
+    ).localCheckpoint(eager=False)
+    # ^ assigned feeds the guard count, both pair-join sides and the final
+    # kept-flag join — materialize the Arrow assignment UDF once (r6)
     if max_list_rows is not None:
         biggest = (
             assigned.groupBy("list_id").count().agg(F.max("count")).collect()[0][0]

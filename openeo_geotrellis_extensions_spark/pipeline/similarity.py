@@ -510,6 +510,10 @@ def lsh_topk(
     signatures) is engine-portable, so a SQL oracle can mirror it bucket for
     bucket. -> (query_id, neighbor_id, cosine, rank)."""
     sigs = hyperplane_buckets(emb, bits, tables, dim, id_col, vec_col)
+    # materialize once within this DAG: the self-join would evaluate the
+    # signature UDF over the corpus twice (r6; no CacheManager entry, so
+    # fresh invocations recompute — see dedup.py for the rationale)
+    sigs = sigs.localCheckpoint(eager=False)
     a = sigs.alias("a")
     b = sigs.alias("b")
     cand = (

@@ -251,7 +251,11 @@ def unigram_logprob_scores(
     toks = df.select(
         F.col(id_col).alias("id"), F.explode(F.split(t, " ")).alias("word")
     ).where(F.col("word") != "")
-    vocab = toks.groupBy("word").agg(F.count("*").alias("c"))
+    # r6: vocab feeds totals AND the logp build side — one tokenize +
+    # groupBy instead of two (lazy localCheckpoint, see dedup.py)
+    vocab = toks.groupBy("word").agg(F.count("*").alias("c")).localCheckpoint(
+        eager=False
+    )
     totals = vocab.agg(
         F.sum("c").alias("n_total"), F.count("*").alias("v_size")
     )
@@ -318,10 +322,17 @@ def bigram_logprob_scores(
         F.posexplode(F.split(t, " ")).alias("pos", "word"),
     ).where(F.col("word") != "")
     win = Window.partitionBy("id").orderBy("pos")
+    # r6: bi feeds the bigram-count groupBy AND the scored join chain, and
+    # vocab feeds totals + both unigram-count join sides — materialize each
+    # once within this DAG instead of re-running the tokenize + window
+    # shuffle 3-4x (lazy localCheckpoint: no CacheManager entry, fresh
+    # invocations recompute; see dedup.py)
     bi = toks.withColumn("w2", F.lead("word").over(win)).where(
         F.col("w2").isNotNull()
-    ).select("id", F.col("word").alias("w1"), "w2")
-    vocab = toks.groupBy("word").agg(F.count("*").alias("c"))
+    ).select("id", F.col("word").alias("w1"), "w2").localCheckpoint(eager=False)
+    vocab = toks.groupBy("word").agg(F.count("*").alias("c")).localCheckpoint(
+        eager=False
+    )
     totals = vocab.agg(F.sum("c").alias("n_total"), F.count("*").alias("v_size"))
     bic = bi.groupBy("w1", "w2").agg(F.count("*").alias("cb"))
     p_b = (F.col("cb") + F.lit(alpha)) / (
@@ -493,7 +504,11 @@ def tfidf_top_terms(
     words = df.select(
         F.col(id_col).alias("id"), F.explode(F.split(norm, " ")).alias("term")
     ).where(F.col("term") != "")
-    tf = words.groupBy("id", "term").agg(F.count("*").alias("tf"))
+    # r6: tf feeds both the document-frequency aggregation and the scored
+    # join — one tokenize + groupBy instead of two (lazy localCheckpoint)
+    tf = words.groupBy("id", "term").agg(F.count("*").alias("tf")).localCheckpoint(
+        eager=False
+    )
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     n_docs = df.select(F.countDistinct(F.col(id_col)).alias("n"))
     scored = (

@@ -302,25 +302,32 @@ def media_cube(docs: DataFrame, tile_size: int = 16) -> DataCube:
                 t = v.astype(np.uint8)
                 t[nodata] = 255
                 tiles_by_band.append(t)
-            for i, (date, h0, h1) in enumerate(
-                zip(pdf["date"], pdf["has_b0"], pdf["has_b1"])
-            ):
+            # vectorized row assembly: one string->timestamp conversion for
+            # the batch (was a per-row pd.Timestamp) and plain ndarray
+            # iteration for the key columns
+            times = pd.to_datetime(pdf["date"]).to_numpy()
+            cols_np = pdf["col"].to_numpy()
+            rows_np = pdf["row"].to_numpy()
+            h0s = pdf["has_b0"].to_numpy()
+            h1s = pdf["has_b1"].to_numpy()
+            t0, t1 = tiles_by_band
+            for i in range(n):
                 bands = [
-                    tiles_by_band[0][i].tobytes() if h0 else b"",
-                    tiles_by_band[1][i].tobytes() if h1 else b"",
+                    t0[i].tobytes() if h0s[i] else b"",
+                    t1[i].tobytes() if h1s[i] else b"",
                 ]
-                out.append(
-                    (pd.Timestamp(date), int(pdf["col"].iloc[i]), int(pdf["row"].iloc[i]), bands)
-                )
+                out.append((times[i], int(cols_np[i]), int(rows_np[i]), bands))
             yield pd.DataFrame(out, columns=["time", "col", "row", "bands"])
 
     df = keys.mapInPandas(gen, schema=schema)
     # cheap distinct-times lineage: gen maps keys 1:1, so the cube's
-    # distinct times are exactly the distinct parsed dates — skipping both
-    # the (date,d,col,row) groupBy and the Python tile stage
-    times = parsed.select("date").distinct().select(
-        F.to_timestamp("date").alias("time")
-    )
+    # distinct times are exactly the distinct key dates. Deriving from the
+    # SAME keys subtree (not a fresh scan) lets AQE's runtime exchange
+    # reuse serve the dates branch from the main branch's groupBy shuffle,
+    # so the marginal cost is a tiny distinct — and the Python tile stage
+    # is skipped entirely (a fresh-scan hint measured SLOWER than the
+    # reused-exchange recompute it replaced; A/B in OPTIMIZATION_r06.md)
+    times = keys.select(F.to_timestamp("date").alias("time")).distinct()
     return DataCube(
         df, CubeMeta(layout, MEDIA_CELL_TYPE, ("B0", "B1"), temporal=True),
         times=times,

@@ -100,16 +100,27 @@ def test_embedding_queries_have_no_cartesian(spark):
 
 
 def test_minhash_verify_scans_only_candidates(spark):
-    """The exact-Jaccard verify stage must semi-join grams down to candidate
-    ids BEFORE intersecting (round-1 fix): the plan carries a LeftSemi join,
-    and no unrestricted gram self-join feeds the jaccard aggregation."""
+    """The exact-Jaccard verify stage must semi-join the corpus down to
+    candidate ids BEFORE tokenizing/intersecting (round-1 fix). Since r6
+    the candidate-gram table is materialized with a lazy localCheckpoint
+    (whose subtree is compiled into an RDD lineage the outer plan string
+    does not show), so the gate asserts the LeftSemi on the
+    UN-checkpointed building block the verify uses."""
+    from pyspark.sql import functions as F
+
     from openeo_geotrellis_extensions_spark.pipeline.dedup import (
-        minhash_lsh_pairs,
+        _candidate_grams,
     )
 
     docs = spark.read.parquet(f"{SF}/documents.parquet")
-    plan = plan_of(minhash_lsh_pairs(docs, verify_threshold=0.5))
+    ids = docs.select(F.col("doc_id").alias("id")).limit(3)
+    plan = plan_of(_candidate_grams(docs, ids, "text", "doc_id", 3, None))
     assert "LeftSemi" in plan
+    # and the semi-join sits BELOW the tokenize (Generate): candidate
+    # scoping happens before any gram is produced
+    gen_pos = plan.index("Generate")
+    semi_pos = plan.index("LeftSemi")
+    assert semi_pos > gen_pos  # tree prints top-down: LeftSemi deeper
 
 
 def test_no_unjustified_cartesian_in_any_registered_query(spark):

@@ -88,7 +88,18 @@ def test_salted_agg_matches_plain(spark, docs_cells):
 class NoRenameFS(LocalFS):
     """LocalFS that additionally FORBIDS rename at the os level while any of
     its methods run — proving the commit-log machinery is object-store-safe
-    (S3 has no atomic rename; publishing must be a single create-new PUT)."""
+    (S3 has no atomic rename; publishing must be a single create-new PUT).
+
+    Patch/restore is depth-counted under a lock: since r6 the writer fans
+    fs calls out on a thread pool (parallel footer reads), and a naive
+    per-call save/patch/restore racing across threads could restore the
+    trap function as the 'original', leaking it into unrelated tests. The
+    ban is in force while ANY fs method is running — a strictly stronger
+    version of the original property."""
+
+    _lock = __import__("threading").Lock()
+    _depth = 0
+    _saved = None
 
     def __getattribute__(self, name):
         attr = super().__getattribute__(name)
@@ -99,16 +110,23 @@ class NoRenameFS(LocalFS):
             import os as _os
             import shutil as _sh
 
-            saved = (_os.replace, _os.rename, _sh.move)
-
             def _boom(*_a, **_kw):  # pragma: no cover - only on regression
                 raise AssertionError("rename used in commit-log path")
 
-            _os.replace = _os.rename = _sh.move = _boom
+            cls = NoRenameFS
+            with cls._lock:
+                if cls._depth == 0:
+                    cls._saved = (_os.replace, _os.rename, _sh.move)
+                    _os.replace = _os.rename = _sh.move = _boom
+                cls._depth += 1
             try:
                 return attr(*a, **kw)
             finally:
-                _os.replace, _os.rename, _sh.move = saved
+                with cls._lock:
+                    cls._depth -= 1
+                    if cls._depth == 0:
+                        _os.replace, _os.rename, _sh.move = cls._saved
+                        cls._saved = None
 
         return guarded
 
