@@ -281,6 +281,17 @@ def media_cube(docs: DataFrame, tile_size: int = 16) -> DataCube:
         F.max(F.col("band") == 0).alias("has_b0"),
         F.max(F.col("band") == 1).alias("has_b1"),
     )
+    # CPU-parallelism for the tile-gen python stage: AQE coalesces the
+    # groupBy exchange by BYTES, and the key table is so narrow (~30 B/row)
+    # that the whole opaque gen stage (which expands each row to tile
+    # payloads) lands on a handful of tasks (measured: 3 of 32 cores at
+    # bench scale — guide §2.2/§4). An explicit count pins it: repartition
+    # with an explicit numPartitions is never AQE-coalesced, and the extra
+    # exchange moves only the narrow keys. defaultParallelism = total
+    # cores, the right unit for a CPU-bound python stage at any scale.
+    gen_input = keys.repartition(
+        docs.sparkSession.sparkContext.defaultParallelism
+    )
     schema = cube_schema(temporal=True)
 
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -319,7 +330,7 @@ def media_cube(docs: DataFrame, tile_size: int = 16) -> DataCube:
                 out.append((times[i], int(cols_np[i]), int(rows_np[i]), bands))
             yield pd.DataFrame(out, columns=["time", "col", "row", "bands"])
 
-    df = keys.mapInPandas(gen, schema=schema)
+    df = gen_input.mapInPandas(gen, schema=schema)
     # cheap distinct-times lineage: gen maps keys 1:1, so the cube's
     # distinct times are exactly the distinct key dates. Deriving from the
     # SAME keys subtree (not a fresh scan) lets AQE's runtime exchange
