@@ -49,10 +49,26 @@ def asof_join(
             " nothing) — add a coarse time-bucket key if the data is truly"
             " global"
         )
+    # reserved internal names (ADVICE r5): an input column named like the
+    # tagging/carry columns would be silently corrupted — fail loudly
+    reserved = {"_side", "_rv", "_lrow", "_match", "_match_ts"}
+    clash = reserved & (set(left.columns) | set(right.columns))
+    if clash:
+        raise ValueError(
+            f"asof_join: input columns {sorted(clash)} collide with the"
+            " join's reserved internal names — rename them first"
+        )
     if value_cols is None:
         value_cols = [
             c for c in right.columns if c not in keys and c != ts_col
         ]
+    dup_out = {f"{c}{suffix}" for c in [*value_cols, ts_col]} & set(left.columns)
+    if dup_out:
+        raise ValueError(
+            f"asof_join: left columns {sorted(dup_out)} collide with the"
+            f" suffixed right outputs (suffix={suffix!r}) — pass a"
+            " different suffix"
+        )
     # deterministic winner among exact-tie right rows
     r_unique = right.groupBy(*keys, ts_col).agg(
         F.max(F.struct(*value_cols)).alias("_rv")

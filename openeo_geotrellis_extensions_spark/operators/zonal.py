@@ -435,6 +435,10 @@ def aggregate_spatial_weighted(
     any summation, so every partial sum is an exact integer — identical
     under any aggregation order, partitioning, or engine (the order-proof
     trick shared with unigram_lm); wmean is a ratio of exact integers.
+    Caveat (ADVICE r5): the order-proof guarantee covers INTEGER-VALUED
+    cell values (all engine cell types here are integer-coded); a cube
+    with arbitrary float cells would truncate weight*value products at
+    the int64 cast and lose the fractional part.
 
     Fast paths per (tile, feature): interior tiles take the constant full
     weight; boundary tiles against RECTANGLE features compute the exact

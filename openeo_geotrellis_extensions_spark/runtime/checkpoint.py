@@ -36,6 +36,14 @@ parquet task commit still goes through its configured output committer —
 on a real object store you pair this with a cloud-native committer
 (directory/magic committer), which is a spark-submit config, not code.
 
+Compatibility note (ADVICE r5): the ``rw_attempt=<id>/`` layout landed in
+round 5; a table whose commits reference the PRE-round-5 flat layout
+(files at ``bucket=<b>/...``) cannot be resumed in place — Spark rejects
+mixed-depth partition paths under one basePath. Migrate such tables by
+reading their committed files explicitly and rewriting through a fresh
+writer; in-place resumption is only supported for tables written by the
+current layout.
+
 This is batch per-partition restart, not streaming state — matching the
 reference's batch-only execution model (SURVEY §2.10).
 """

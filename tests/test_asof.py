@@ -191,3 +191,27 @@ def test_interval_join_guards_degenerate_span(spark):
     # explicit wide width also passes and agrees
     got2 = interval_point_join(ev, iv, on=[], bucket_seconds=864000)
     assert {(r.event_id, r.interval_id) for r in got2.collect()} == rows
+
+
+def test_asof_join_rejects_reserved_and_colliding_names(spark):
+    """ADVICE r5 closure: inputs carrying the join's internal column names
+    (or a left column equal to a suffixed output) raise instead of being
+    silently corrupted."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from openeo_geotrellis_extensions_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 0)], ["k", "ts", "_side"]
+    ).select("k", F.to_timestamp("ts").alias("ts"), "_side")
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 1.0)], ["k", "ts", "v"]
+    ).select("k", F.to_timestamp("ts").alias("ts"), "v")
+    with pytest.raises(ValueError, match="reserved internal names"):
+        asof_join(left, right, on="k")
+    left2 = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 5.0)], ["k", "ts", "v_r"]
+    ).select("k", F.to_timestamp("ts").alias("ts"), "v_r")
+    with pytest.raises(ValueError, match="suffixed right outputs"):
+        asof_join(left2, right, on="k")
